@@ -1,0 +1,20 @@
+"""sahara_tpu — a TPU-native approximate pattern-matching framework.
+
+A from-scratch re-design of the capabilities of seqan/sahara (an FM-index
+read mapper driven by Optimum Search Schemes) for TPU hardware:
+
+- The FM-index occurrence table is stored as dense per-symbol bit-planes with
+  absolute int32 rank checkpoints, so a rank query is one row gather plus an
+  in-register popcount (see ``sahara_tpu.index.occtable``).
+- Approximate search is a vectorized frontier (wavefront) engine: thousands of
+  (query, search-branch) states are stepped in lockstep through a compiled
+  search-scheme "tape" under ``jax.jit`` (see ``sahara_tpu.engine``).
+- Locate is a batched LF-walk to the sampled suffix array.
+- Scaling is data-parallel over queries via ``jax.sharding.Mesh`` with the
+  index replicated per device (see ``sahara_tpu.dist``).
+
+Reference behavior being reproduced: /root/reference/src/sahara/*.cpp
+(see SURVEY.md for the full component inventory).
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,78 @@
+"""Device-resident view of an FM-index (jnp arrays in HBM).
+
+The index arrays are replicated per device; only query batches are sharded
+(SURVEY.md §2.3).  Static metadata (sigma, rate, n) rides as pytree aux data
+so jitted engine code specializes on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sahara_tpu.index.fmindex import BiFMIndex, FMIndex
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceIndex:
+    occ: jax.Array  # int32[W, 2*sigma]
+    occ_rev: jax.Array  # int32[W, 2*sigma] (== occ for unidirectional)
+    c_arr: jax.Array  # int32[sigma+1]
+    sampled: jax.Array  # int32[W, 2]
+    sample_seq: jax.Array  # int32[S]
+    sample_pos: jax.Array  # int32[S]
+    sigma: int = dataclasses.field(metadata=dict(static=True))
+    rate: int = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def bidirectional(self) -> bool:
+        return self.occ_rev is not self.occ
+
+    @staticmethod
+    def from_host(index: FMIndex, device=None, sharding=None) -> "DeviceIndex":
+        if index.n >= 2**31:
+            raise ValueError(
+                "single-device index limited to text < 2^31; shard the index by "
+                "text interval for larger references"
+            )
+
+        def put(x):
+            if sharding is not None:
+                return jax.device_put(x, sharding)
+            return jax.device_put(x, device)
+
+        occ = put(np.asarray(index.occ))
+        occ_rev = put(np.asarray(index.occ_rev)) if isinstance(index, BiFMIndex) else occ
+        return DeviceIndex(
+            occ=occ,
+            occ_rev=occ_rev,
+            c_arr=put(np.asarray(index.c_arr, dtype=np.int32)),
+            sampled=put(np.asarray(index.sampled)),
+            sample_seq=put(np.asarray(index.sample_seq)),
+            sample_pos=put(np.asarray(index.sample_pos)),
+            sigma=int(index.sigma),
+            rate=int(index.rate),
+            n=int(index.n),
+        )
+
+
+def pad_queries(queries: list[np.ndarray], length: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Left-aligned pad to a rectangle. Returns (int32[B, L], lengths int32[B])."""
+    if length is None:
+        length = max((len(q) for q in queries), default=0)
+    out = np.zeros((len(queries), length), dtype=np.int32)
+    lens = np.zeros(len(queries), dtype=np.int32)
+    for i, q in enumerate(queries):
+        out[i, : len(q)] = q
+        lens[i] = len(q)
+    return out, lens
+
+
+def queries_to_device(queries: list[np.ndarray]) -> tuple[jax.Array, jax.Array]:
+    q, lens = pad_queries(queries)
+    return jnp.asarray(q), jnp.asarray(lens)

@@ -1,0 +1,89 @@
+"""Batched locate: expand hit intervals into SA rows, LF-walk every row to a
+sampled position in lockstep.
+
+TPU-native replacement for ``fmc::LocateLinear`` (reference call sites
+search.cpp:244-250, uni-search.cpp:124-129): the per-cursor iteration becomes
+a ragged-to-dense interval expansion (cumsum + searchsorted) followed by a
+fixed-trip-count masked LF-walk (< rate steps by the text-layout invariant —
+see sahara_tpu.index.fmindex).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sahara_tpu.engine.device import DeviceIndex
+from sahara_tpu.engine.rank import (
+    occ_row,
+    rank_all_from_row,
+    sampled_bit,
+    sampled_rank,
+    symbol_from_row,
+)
+
+
+@partial(jax.jit, static_argnames=("cap_rows",))
+def expand_intervals(lb: jax.Array, ln: jax.Array, cap_rows: int):
+    """Flatten intervals [lb_i, lb_i+ln_i) into a dense row vector.
+
+    Returns (rows int32[cap_rows], src int32[cap_rows] — the interval index
+    each row came from, valid bool[cap_rows], total int32 scalar).  Rows
+    beyond ``cap_rows`` are dropped (caller checks ``total`` for overflow).
+    """
+    ends = jnp.cumsum(ln)
+    total = ends[-1] if ln.size else jnp.int32(0)
+    out_idx = jnp.arange(cap_rows, dtype=jnp.int32)
+    src = jnp.searchsorted(ends, out_idx, side="right").astype(jnp.int32)
+    src_c = jnp.clip(src, 0, max(lb.shape[0] - 1, 0))
+    start_of_src = jnp.take(ends, src_c) - jnp.take(ln, src_c)
+    rows = jnp.take(lb, src_c) + (out_idx - start_of_src)
+    valid = out_idx < total
+    return rows, src_c, valid, total
+
+
+@jax.jit
+def lf_walk(index: DeviceIndex, rows: jax.Array, valid: jax.Array):
+    """Walk each row backward via LF until its SA position is sampled.
+
+    Returns (seq_id int32[...], pos int32[...]) — final located positions.
+    """
+    occ, c_arr, sigma = index.occ, index.c_arr, index.sigma
+
+    def body(_, state):
+        row, steps = state
+        done = sampled_bit(index.sampled, row) == 1
+        r = occ_row(occ, row)
+        c = symbol_from_row(r, sigma, row)
+        ranks = rank_all_from_row(r, sigma, row)
+        rank_c = jnp.take_along_axis(ranks, c[..., None], axis=-1)[..., 0]
+        nxt = jnp.take(c_arr, c) + rank_c
+        row = jnp.where(done, row, nxt)
+        steps = jnp.where(done, steps, steps + 1)
+        return row, steps
+
+    steps0 = jnp.zeros_like(rows)
+    # <= rate-1 steps by construction; fixed trip count keeps shapes static
+    row, steps = lax.fori_loop(0, index.rate, body, (rows, steps0))
+    slot = sampled_rank(index.sampled, row)
+    slot = jnp.clip(slot, 0, index.sample_seq.shape[0] - 1)
+    seq_id = jnp.take(index.sample_seq, slot)
+    pos = jnp.take(index.sample_pos, slot) + steps
+    seq_id = jnp.where(valid, seq_id, -1)
+    pos = jnp.where(valid, pos, -1)
+    return seq_id, pos
+
+
+@partial(jax.jit, static_argnames=("cap_rows",))
+def locate(index: DeviceIndex, lb: jax.Array, ln: jax.Array, cap_rows: int):
+    """Locate all rows of all intervals.
+
+    Returns (src int32[cap_rows] — interval id per row, seq_id, pos, valid,
+    total).
+    """
+    rows, src, valid, total = expand_intervals(lb, ln, cap_rows)
+    seq_id, pos = lf_walk(index, jnp.where(valid, rows, 0), valid)
+    return src, seq_id, pos, valid, total

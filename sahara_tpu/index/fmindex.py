@@ -1,0 +1,106 @@
+"""FM-index containers (host-side NumPy arrays) + versioned serialization.
+
+TPU-native equivalents of ``fmc::FMIndex`` / ``fmc::BiFMIndex`` +
+``fmc::DenseCSA`` (reference construction sites: index.cpp:87,
+uni-index.cpp:70).  The cereal binary archives of the reference become a
+flat ``.npz`` container with an explicit format version — the reference only
+requires *search output* parity, not index file compatibility (SURVEY.md §2.2).
+
+Text layout invariant: sequences are concatenated, each padded with sentinel
+zeros so every sequence starts at a multiple of the SA sampling rate.  Hence
+every LF-walk from a hit (which always starts inside a sequence — matched
+substrings never contain rank 0) terminates at a sampled text position inside
+the *same* sequence after < rate steps.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+import numpy as np
+
+FORMAT_VERSION = 1
+
+
+@dataclasses.dataclass
+class FMIndex:
+    """Unidirectional FM-index over a sequence collection."""
+
+    sigma: int
+    alphabet_name: str
+    rate: int  # SA sampling rate (reference default 16, index.cpp:87)
+    n: int  # total text length (reference `index.size()`, search.cpp:193)
+    occ: np.ndarray  # int32[W, 2*sigma] — see occtable.build_occ
+    c_arr: np.ndarray  # int32[sigma+1] — C[c] = #symbols < c in the text
+    sampled: np.ndarray  # int32[W, 2] — occ-structure over the sampled-row bitvector
+    sample_seq: np.ndarray  # int32[S] — seqId per sampled row (row-rank order)
+    sample_pos: np.ndarray  # int32[S] — seqPos per sampled row
+    seq_lens: np.ndarray  # int64[m] — original sequence lengths
+
+    @property
+    def num_seqs(self) -> int:
+        return len(self.seq_lens)
+
+    def size(self) -> int:
+        return self.n
+
+
+@dataclasses.dataclass
+class BiFMIndex(FMIndex):
+    """Bidirectional FM-index: adds the reversed-text occ table."""
+
+    occ_rev: np.ndarray = None  # int32[W, 2*sigma]
+
+
+def save_index(path: str, index: FMIndex) -> None:
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "kind": "bi" if isinstance(index, BiFMIndex) else "uni",
+        "sigma": index.sigma,
+        "alphabet": index.alphabet_name,
+        "rate": index.rate,
+        "n": index.n,
+    }
+    arrays = {
+        "occ": index.occ,
+        "c_arr": index.c_arr,
+        "sampled": index.sampled,
+        "sample_seq": index.sample_seq,
+        "sample_pos": index.sample_pos,
+        "seq_lens": index.seq_lens,
+        "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
+    }
+    if isinstance(index, BiFMIndex):
+        arrays["occ_rev"] = index.occ_rev
+    with open(path, "wb") as fh:
+        np.savez(fh, **arrays)
+
+
+def load_index(path: str) -> FMIndex:
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        if meta["format_version"] != FORMAT_VERSION:
+            raise ValueError(f"unknown file format version for index: {meta['format_version']}")
+        common = dict(
+            sigma=meta["sigma"],
+            alphabet_name=meta["alphabet"],
+            rate=meta["rate"],
+            n=meta["n"],
+            occ=data["occ"],
+            c_arr=data["c_arr"],
+            sampled=data["sampled"],
+            sample_seq=data["sample_seq"],
+            sample_pos=data["sample_pos"],
+            seq_lens=data["seq_lens"],
+        )
+        if meta["kind"] == "bi":
+            return BiFMIndex(**common, occ_rev=data["occ_rev"])
+        return FMIndex(**common)
+
+
+def peek_sigma(path: str) -> int:
+    """Read just the alphabet size from an index file (search.cpp:278-283)."""
+    with np.load(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+        return int(meta["sigma"])
