@@ -19,8 +19,14 @@ from sahara_tpu.index.fmindex import BiFMIndex, FMIndex
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class DeviceIndex:
-    occ: jax.Array  # int32[W, 2*sigma]
-    occ_rev: jax.Array  # int32[W, 2*sigma] (== occ for unidirectional)
+    """Index arrays in HBM.  ``occ`` is the forward occ table with the
+    reversed-text occ table stacked below it for bidirectional indexes
+    (int32[W or 2W, 2*sigma]); ``rev_rows`` = W (the word-row offset of the
+    reversed table) or 0 for unidirectional indexes.  The stacking lets the
+    scheme stepper pick the extension direction per state with plain index
+    arithmetic — one gather stream regardless of direction mix."""
+
+    occ: jax.Array  # int32[W or 2W, 2*sigma]
     c_arr: jax.Array  # int32[sigma+1]
     sampled: jax.Array  # int32[W, 2]
     sample_seq: jax.Array  # int32[S]
@@ -28,10 +34,11 @@ class DeviceIndex:
     sigma: int = dataclasses.field(metadata=dict(static=True))
     rate: int = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
+    rev_rows: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def bidirectional(self) -> bool:
-        return self.occ_rev is not self.occ
+        return self.rev_rows > 0
 
     @staticmethod
     def from_host(index: FMIndex, device=None, sharding=None) -> "DeviceIndex":
@@ -46,11 +53,14 @@ class DeviceIndex:
                 return jax.device_put(x, sharding)
             return jax.device_put(x, device)
 
-        occ = put(np.asarray(index.occ))
-        occ_rev = put(np.asarray(index.occ_rev)) if isinstance(index, BiFMIndex) else occ
+        if isinstance(index, BiFMIndex):
+            occ = put(np.concatenate([np.asarray(index.occ), np.asarray(index.occ_rev)], axis=0))
+            rev_rows = index.occ.shape[0]
+        else:
+            occ = put(np.asarray(index.occ))
+            rev_rows = 0
         return DeviceIndex(
             occ=occ,
-            occ_rev=occ_rev,
             c_arr=put(np.asarray(index.c_arr, dtype=np.int32)),
             sampled=put(np.asarray(index.sampled)),
             sample_seq=put(np.asarray(index.sample_seq)),
@@ -58,6 +68,7 @@ class DeviceIndex:
             sigma=int(index.sigma),
             rate=int(index.rate),
             n=int(index.n),
+            rev_rows=rev_rows,
         )
 
 

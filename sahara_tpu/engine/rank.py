@@ -33,6 +33,13 @@ def rank_all(occ: jax.Array, sigma: int, i: jax.Array) -> jax.Array:
     return rank_all_from_row(occ_row(occ, i), sigma, i)
 
 
+def rank_all_offset(occ: jax.Array, sigma: int, i: jax.Array, word_off: jax.Array) -> jax.Array:
+    """rank-all against a stacked occ table: ``word_off`` selects the
+    sub-table (0 = forward, W = reversed) per query position."""
+    row = jnp.take(occ, (i >> 5) + word_off, axis=0)
+    return rank_all_from_row(row, sigma, i)
+
+
 def symbol_from_row(row: jax.Array, sigma: int, i: jax.Array) -> jax.Array:
     """BWT symbol at row position i, decoded from the bit-planes."""
     bits = lax.bitcast_convert_type(row[..., sigma:], jnp.uint32)

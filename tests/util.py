@@ -40,6 +40,44 @@ def edit_distance_prefix(query: np.ndarray, text: np.ndarray) -> np.ndarray:
     return prev
 
 
+def brute_edit_hits_minimal(
+    seqs: list[np.ndarray], query: np.ndarray, k: int
+) -> set[tuple[int, int]]:
+    """All (seqId, pos) where some substring starting at pos is within edit
+    distance k of the query under the *minimal-span* rule: the aligned text
+    span must not begin or end with a deleted character (query insertions at
+    the ends are allowed).  This is the engine's documented hit contract."""
+    out = set()
+    m = len(query)
+    inf = 10**9
+    for sid, s in enumerate(seqs):
+        s = np.asarray(s, dtype=np.uint8)
+        for p in range(len(s)):
+            w = s[p : p + m + k]
+            nw = len(w)
+            if nw == 0:
+                continue
+            # A[i][j]: align query[0:i] to w[0:j]; w[0] consumed by match/sub
+            a = np.full((m + 1, nw + 1), inf, dtype=np.int64)
+            b = np.full((m + 1, nw + 1), inf, dtype=np.int64)
+            for i in range(m + 1):
+                a[i][0] = i
+            for i in range(1, m + 1):
+                sub0 = 0 if query[i - 1] == w[0] else 1
+                a[i][1] = min(a[i - 1][0] + sub0, a[i - 1][1] + 1)
+                for j in range(2, nw + 1):
+                    sub = 0 if query[i - 1] == w[j - 1] else 1
+                    a[i][j] = min(a[i - 1][j - 1] + sub, a[i - 1][j] + 1, a[i][j - 1] + 1)
+            # B[i][j]: additionally w[j-1] consumed by match/sub
+            for i in range(1, m + 1):
+                for j in range(1, nw + 1):
+                    sub = 0 if query[i - 1] == w[j - 1] else 1
+                    b[i][j] = min(a[i - 1][j - 1] + sub, b[i - 1][j] + 1)
+            if min(b[m][1:]) <= k:
+                out.add((sid, p))
+    return out
+
+
 def brute_approx_hits(
     seqs: list[np.ndarray], query: np.ndarray, k: int, hamming: bool = False
 ) -> set[tuple[int, int]]:
