@@ -1,0 +1,231 @@
+"""`search` / `uni-search` / `rbi-search` / `rbi-search-dna4` subcommands.
+
+Mirrors /root/reference/src/sahara/search.cpp:29-291, uni-search.cpp,
+rbi-search.cpp, rbi-search-dna4.cpp: flag surface, config echo, search,
+locate, `queryId seqId pos` output, stats block."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from sahara_tpu.alphabet import DR_DNA4, DR_DNA5, by_sigma
+from sahara_tpu.cli.common import Timings, load_queries_ranked, write_hits
+from sahara_tpu.engine.device import DeviceIndex, pad_queries
+from sahara_tpu.engine.driver import _locate_hits, search_queries
+from sahara_tpu.engine.exact import exact_search
+from sahara_tpu.index.fmindex import load_index, peek_sigma
+from sahara_tpu.utils.errors import SaharaError
+
+
+def cmd_search(args):
+    sigma = peek_sigma(args.index)
+    alphabet = by_sigma(sigma)  # search.cpp:284-287 dispatch
+    timing = Timings()
+
+    queries = load_queries_ranked(args.query, alphabet, add_revcomp=not args.no_reverse)
+    if args.limit_queries:
+        queries = queries[: args.limit_queries]
+    if not queries:
+        raise SaharaError(f"query file {args.query} was empty - abort")
+    timing.mark("ld queries")
+
+    print("config:")
+    print(f"  query:               {args.query}")
+    print(f"  index:               {args.index}")
+    print(f"  generator:           {args.generator}")
+    print(f"  dynamic expansion:   {args.dynamic_generator}")
+    print(f"  allowed errors:      {args.errors}")
+    print(f"  reverse complements: {not args.no_reverse}")
+    print(f"  search mode:         {args.search_mode}")
+    print(f"  max hits:            {args.max_hits}")
+    print(f"  output path:         {args.output}")
+    fwd = len(queries) // (1 if args.no_reverse else 2)
+    print(f"fwd queries: {fwd}")
+    print(f"bwd queries: {len(queries) - fwd}")
+
+    if not os.path.exists(args.index):
+        raise SaharaError(f"no valid index path at {args.index}")
+    host = load_index(args.index)
+    index = DeviceIndex.from_host(host)
+    timing.mark("ld index")
+
+    edit = args.distance_metric == "lev"
+    result = search_queries(
+        index,
+        queries,
+        k=args.errors,
+        generator_name=args.generator,
+        edit=edit,
+        mode=args.search_mode,
+        max_hits=args.max_hits,
+        dynamic=args.dynamic_generator,
+        verbose_cb=print,
+    )
+    timing.mark("search")
+    timing.mark("locate")
+
+    n = write_hits(args.output, result.rows())
+    timing.mark("result")
+    timing.print_stats(n_queries=len(queries), n_hits=n)
+
+
+def cmd_uni_search(args):
+    from sahara_tpu.alphabet import D_DNA5
+    from sahara_tpu.engine.locate import locate
+
+    alphabet = D_DNA5
+    timing = Timings()
+    queries = load_queries_ranked(args.query, alphabet, add_revcomp=not args.no_reverse)
+    if not queries:
+        raise SaharaError(f"query file {args.query} was empty - abort")
+    timing.mark("ld queries")
+
+    print("config:")
+    print(f"  query:               {args.query}")
+    print(f"  index:               {args.index}")
+    print(f"  reverse complements: {not args.no_reverse}")
+    print(f"  output path:         {args.output}")
+    fwd = len(queries) // (1 if args.no_reverse else 2)
+    print(f"fwd queries: {fwd}")
+    print(f"bwd queries: {len(queries) - fwd}")
+
+    if not os.path.exists(args.index):
+        raise SaharaError(f"no valid index path at {args.index}")
+    host = load_index(args.index)
+    index = DeviceIndex.from_host(host)
+    timing.mark("ld index")
+
+    q, lens = pad_queries([np.asarray(x, dtype=np.int32) for x in queries])
+    lb, sz = exact_search(index, np.asarray(q, dtype=np.int32), np.asarray(lens, dtype=np.int32))
+    lb, sz = np.asarray(lb), np.asarray(sz)
+    timing.mark("search")
+
+    total = int(sz.sum())
+    rows = []
+    if total:
+        cap = 8
+        while cap < total:
+            cap *= 2
+        src, seq_id, pos, valid, _ = locate(index, lb.astype(np.int32), sz.astype(np.int32), cap)
+        src, seq_id, pos, valid = map(np.asarray, (src, seq_id, pos, valid))
+        order = np.argsort(src[valid], kind="stable")
+        for s, sid, p in zip(src[valid][order], seq_id[valid][order], pos[valid][order]):
+            rows.append((int(s), int(sid), int(p)))
+    timing.mark("locate")
+
+    n = write_hits(args.output, rows)
+    timing.mark("result")
+    timing.print_stats(n_queries=len(queries), n_hits=n)
+
+
+def _rbi_search(args, alphabet, unknown_random_ranks: bool):
+    timing = Timings()
+    # rbi queries are NOT revcomp-expanded (rbi-search.cpp:128-132): the dr
+    # alphabet is strand-symmetric and the index carries the mirror text.
+    if unknown_random_ranks:
+        # rbi-search-dna4.cpp:111-116: unknown chars -> random rank 1/2
+        from sahara_tpu.alphabet import INVALID_RANK
+        from sahara_tpu.io.fasta import read_fasta
+
+        rng = np.random.default_rng(0)
+        queries = []
+        for record in read_fasta(args.query):
+            ranks = alphabet.char_to_rank(record.seq)
+            bad = ranks == INVALID_RANK
+            if bad.any():
+                ranks = ranks.copy()
+                ranks[bad] = rng.integers(1, 3, size=int(bad.sum()))
+            queries.append(ranks)
+    else:
+        queries = load_queries_ranked(args.query, alphabet, add_revcomp=False)
+    if not queries:
+        raise SaharaError(f"query file {args.query} was empty - abort")
+    timing.mark("ld queries")
+
+    print("config:")
+    print(f"  query:               {args.query}")
+    print(f"  index:               {args.index}")
+    print(f"  generator:           {args.generator}")
+    print(f"  dynamic expansion:   {args.dynamic_generator}")
+    print(f"  allowed errors:      {args.errors}")
+    print(f"  search mode:         {args.search_mode}")
+    print(f"  max hits:            {args.max_hits}")
+    print(f"  output path:         {args.output}")
+    print(f"fwd queries: {len(queries)}")
+
+    if not os.path.exists(args.index):
+        raise SaharaError(f"no valid index path at {args.index}")
+    host = load_index(args.index)
+    index = DeviceIndex.from_host(host)
+    timing.mark("ld index")
+
+    # rbi search is always edit distance (search_ng21, rbi-search.cpp:177-187)
+    result = search_queries(
+        index,
+        queries,
+        k=args.errors,
+        generator_name=args.generator,
+        edit=True,
+        mode=args.search_mode,
+        max_hits=args.max_hits,
+        dynamic=args.dynamic_generator,
+        verbose_cb=print,
+    )
+    timing.mark("search")
+    timing.mark("locate")
+    n = write_hits(args.output, result.rows())
+    timing.mark("result")
+    timing.print_stats(n_queries=len(queries), n_hits=n)
+
+
+def cmd_rbi_search(args):
+    _rbi_search(args, DR_DNA5, unknown_random_ranks=False)
+
+
+def cmd_rbi_search_dna4(args):
+    _rbi_search(args, DR_DNA4, unknown_random_ranks=True)
+
+
+def _add_search_flags(p, *, metric: bool, reverse: bool, limit: bool):
+    p.add_argument("-q", "--query", required=True, help="path to a query file")
+    p.add_argument("-i", "--index", required=True, help="path to the index file")
+    p.add_argument("-o", "--output", default="sahara-output.txt", help="output path")
+    p.add_argument("-g", "--generator", default="h2-k2", help="picking optimum search scheme generator")
+    p.add_argument("--dynamic_generator", action="store_true",
+                   help="should generator run expand search scheme with dynamic extension")
+    p.add_argument("-e", "--errors", type=int, default=0,
+                   help="number of allowed errors (number of allowed differences insert/substitute and deletions)")
+    if reverse:
+        p.add_argument("--no-reverse", action="store_true", help="do not search for reversed complements")
+    p.add_argument("-m", "--search_mode", choices=["all", "besthits"], default="all",
+                   help="search mode, all (default) or besthits")
+    if metric:
+        p.add_argument("-d", "--distance-metric", dest="distance_metric", choices=["ham", "lev"],
+                       default="lev",
+                       help="which distance metric to use. ham: hamming or lev: levenshtein(edit) distance")
+    p.add_argument("--max_hits", type=int, default=0, help="maximum number of hits per query")
+    if limit:
+        p.add_argument("--limit_queries", type=int, default=0, help="only run the given number of queries")
+
+
+def register(subparsers):
+    p = subparsers.add_parser("search", help="search for a given pattern")
+    _add_search_flags(p, metric=True, reverse=True, limit=True)
+    p.set_defaults(func=cmd_search)
+
+    p = subparsers.add_parser("uni-search", help="search for a given pattern")
+    p.add_argument("-q", "--query", required=True)
+    p.add_argument("-i", "--index", required=True)
+    p.add_argument("-o", "--output", default="sahara-output.txt")
+    p.add_argument("--no-reverse", action="store_true")
+    p.set_defaults(func=cmd_uni_search)
+
+    p = subparsers.add_parser("rbi-search", help="search for a given pattern")
+    _add_search_flags(p, metric=False, reverse=False, limit=False)
+    p.set_defaults(func=cmd_rbi_search)
+
+    p = subparsers.add_parser("rbi-search-dna4", help="search for a given pattern")
+    _add_search_flags(p, metric=False, reverse=False, limit=False)
+    p.set_defaults(func=cmd_rbi_search_dna4)

@@ -317,3 +317,64 @@ def run_scheme_search(
         if hovf_np.any():
             h_cap *= 2
     raise AssertionError("unreachable")
+
+
+def _concat_hits(parts: list[SearchHits], nq: int) -> SearchHits:
+    """Concatenate chunked results along the query axis, padding hit buffers
+    to the widest h_cap among chunks (overflow retries may widen some)."""
+    h_cap = max(p.lb.shape[2] for p in parts)
+    s_fields = {}
+    for name in ("lb", "sz", "err"):
+        arrs = []
+        for p in parts:
+            a = getattr(p, name)
+            if a.shape[2] < h_cap:
+                pad = np.zeros((a.shape[0], a.shape[1], h_cap - a.shape[2]), dtype=a.dtype)
+                a = np.concatenate([a, pad], axis=2)
+            arrs.append(a)
+        s_fields[name] = np.concatenate(arrs, axis=0)[:nq]
+    return SearchHits(
+        **s_fields,
+        count=np.concatenate([p.count for p in parts], axis=0)[:nq],
+        frontier_overflow=np.concatenate([p.frontier_overflow for p in parts], axis=0)[:nq],
+        hit_overflow=np.concatenate([p.hit_overflow for p in parts], axis=0)[:nq],
+    )
+
+
+def run_scheme_search_chunked(
+    index: DeviceIndex,
+    queries: np.ndarray,
+    tape: SchemeTape,
+    *,
+    edit: bool,
+    active: np.ndarray | None = None,
+    s_cap: int = 64,
+    h_cap: int = 32,
+    chunk: int = 1024,
+    max_retries: int = 4,
+) -> SearchHits:
+    """Process queries in fixed-size chunks (the last chunk is padded with
+    inactive lanes) so one compiled program shape serves the whole batch and
+    per-step working memory stays bounded."""
+    nq, m = queries.shape
+    if nq <= chunk:
+        return run_scheme_search(
+            index, queries, tape, edit=edit, active=active,
+            s_cap=s_cap, h_cap=h_cap, max_retries=max_retries,
+        )
+    act = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+    parts: list[SearchHits] = []
+    for start in range(0, nq, chunk):
+        q = queries[start : start + chunk]
+        a = act[start : start + chunk]
+        if q.shape[0] < chunk:  # pad to the compiled shape
+            pad_n = chunk - q.shape[0]
+            q = np.concatenate([q, np.zeros((pad_n, m), dtype=q.dtype)], axis=0)
+            a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
+        parts.append(
+            run_scheme_search(
+                index, q, tape, edit=edit, active=a,
+                s_cap=s_cap, h_cap=h_cap, max_retries=max_retries,
+            )
+        )
+    return _concat_hits(parts, nq)

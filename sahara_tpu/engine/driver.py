@@ -13,7 +13,7 @@ import dataclasses
 
 import numpy as np
 
-from sahara_tpu.engine.approx import SearchHits, run_scheme_search
+from sahara_tpu.engine.approx import SearchHits, run_scheme_search_chunked
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.locate import locate
 from sahara_tpu.engine.tape import compile_tape
@@ -137,6 +137,7 @@ def search_queries(
     dynamic: bool = False,
     s_cap: int = 64,
     h_cap: int = 32,
+    chunk: int = 1024,
     verbose_cb=None,
 ) -> SearchResult:
     """Approximate search of rank-array queries against a bidirectional
@@ -156,7 +157,6 @@ def search_queries(
         qids = np.asarray(idxs, dtype=np.int64)
 
         if mode == "all":
-            parts_max = length  # a scheme cannot have more parts than chars
             ess = load_scheme(
                 generator_name, 0, k, length, edit=edit, sigma=sigma, n_text=index.n,
                 dynamic=dynamic, verbose_cb=verbose_cb,
@@ -164,8 +164,8 @@ def search_queries(
             if not edit:
                 ess = limit_to_hamming(ess)
             tape = compile_tape(ess)
-            hits = run_scheme_search(
-                index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap
+            hits = run_scheme_search_chunked(
+                index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
             )
             results.append(_locate_hits(index, hits, qids, max_hits=max_hits))
         elif mode == "besthits":
@@ -182,8 +182,8 @@ def search_queries(
                 if not edit:
                     ess = limit_to_hamming(ess)
                 tape = compile_tape(ess)
-                hits = run_scheme_search(
-                    index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap
+                hits = run_scheme_search_chunked(
+                    index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk
                 )
                 res = _locate_hits(index, hits, qids, max_hits=max_hits)
                 results.append(res)

@@ -73,8 +73,11 @@ def save_index(path: str, index: FMIndex) -> None:
     }
     if isinstance(index, BiFMIndex):
         arrays["occ_rev"] = index.occ_rev
-    with open(path, "wb") as fh:
-        np.savez(fh, **arrays)
+    if hasattr(path, "write"):
+        np.savez(path, **arrays)
+    else:
+        with open(path, "wb") as fh:
+            np.savez(fh, **arrays)
 
 
 def load_index(path: str) -> FMIndex:

@@ -1,0 +1,86 @@
+"""Distributed scheme search: shard_map over the data axis.
+
+Each device runs the lockstep stepper on its query shard against the
+replicated index; per-shard hit buffers stay device-local (hits are
+located and materialized per shard) while the global hit count is reduced
+with ``psum`` over ICI — the TPU-native replacement for the reference's
+absent multi-process story (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from sahara_tpu.engine.approx import SearchHits, scheme_search
+from sahara_tpu.engine.device import DeviceIndex
+from sahara_tpu.engine.tape import SchemeTape
+from sahara_tpu.parallel.mesh import DATA_AXIS, shard_queries
+
+
+def distributed_scheme_search(
+    mesh,
+    index: DeviceIndex,
+    queries: np.ndarray,  # [nq, m] host batch (uniform length)
+    tape: SchemeTape,
+    *,
+    edit: bool,
+    s_cap: int = 64,
+    h_cap: int = 32,
+) -> tuple[SearchHits, int]:
+    """Run the scheme search data-parallel over the mesh.
+
+    Returns (hits over the original nq queries, global hit count)."""
+    nq, m = queries.shape
+    ns = tape.num_searches
+    k = tape.max_errors
+    q_sharded, nq_orig = shard_queries(queries, mesh)
+    nq_pad = q_sharded.shape[0]
+    n_dev = mesh.devices.size
+
+    t_side = jnp.asarray(tape.side)
+    t_qpos = jnp.asarray(tape.qpos)
+    t_lo = jnp.asarray(tape.lo)
+    t_hi = jnp.asarray(tape.hi)
+
+    # padded lanes beyond nq_orig are masked off via `active`
+    active = np.arange(nq_pad) < nq_orig
+
+    def shard_fn(index, q_shard, side, qpos, lo, hi, act):
+        h_lb, h_sz, h_err, cnt, fovf, hovf = scheme_search(
+            index, q_shard, side, qpos, lo, hi, act,
+            edit=edit, s_cap=s_cap, h_cap=h_cap, m=m, ns=ns, k=k,
+        )
+        total = jax.lax.psum(jnp.sum(cnt), DATA_AXIS)
+        return h_lb, h_sz, h_err, cnt, fovf, hovf, total
+
+    idx_spec = jax.tree.map(lambda _: P(), index)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(idx_spec, P(DATA_AXIS, None), P(), P(), P(), P(), P(DATA_AXIS)),
+        out_specs=(
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(),
+        ),
+        check_vma=False,
+    )
+    act_sharded = jax.device_put(active, NamedSharding(mesh, P(DATA_AXIS)))
+    h_lb, h_sz, h_err, cnt, fovf, hovf, total = jax.jit(fn)(
+        index, q_sharded, t_side, t_qpos, t_lo, t_hi, act_sharded
+    )
+
+    b = nq_pad * ns
+    hits = SearchHits(
+        lb=np.asarray(h_lb).reshape(nq_pad, ns, h_cap)[:nq_orig],
+        sz=np.asarray(h_sz).reshape(nq_pad, ns, h_cap)[:nq_orig],
+        err=np.asarray(h_err).reshape(nq_pad, ns, h_cap)[:nq_orig],
+        count=np.asarray(cnt).reshape(nq_pad, ns)[:nq_orig],
+        frontier_overflow=np.asarray(fovf).reshape(nq_pad, ns)[:nq_orig],
+        hit_overflow=np.asarray(hovf).reshape(nq_pad, ns)[:nq_orig],
+    )
+    return hits, int(total)
