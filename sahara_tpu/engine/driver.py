@@ -16,7 +16,8 @@ import numpy as np
 from sahara_tpu.engine.approx import SearchHits, run_scheme_search_chunked
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.locate import locate
-from sahara_tpu.engine.tape import compile_tape
+from sahara_tpu.engine.tape import SchemeTape, compile_tape
+from sahara_tpu.engine.workq import MAX_NQ, MAX_NS, FlatHits, run_workq_search
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
 from sahara_tpu.schemes.costs import node_count, optimize_by_wnc, weighted_node_count
 from sahara_tpu.schemes.types import Scheme
@@ -125,6 +126,124 @@ def _locate_hits(
     return result
 
 
+def _locate_flat_hits(
+    index: DeviceIndex,
+    hits: FlatHits,
+    ns: int,
+    query_ids: np.ndarray,
+    max_hits: int = 0,
+) -> SearchResult:
+    """Locate a work-queue engine result (flat hit list)."""
+    if hits.n_hits == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return SearchResult(z, z, z, z)
+    # canonical order: by (query, search) then discovery order
+    lane_q = hits.lane // ns
+    order = np.argsort(hits.lane, kind="stable")
+    lb = hits.lb[order]
+    sz = hits.sz[order]
+    err = hits.err[order]
+    q_of_hit = lane_q[order]
+
+    cap_rows = max(_next_pow2(int(sz.sum())), 8)
+    src, seq_id, pos, row_valid, _ = locate(
+        index, np.asarray(lb, dtype=np.int32), np.asarray(sz, dtype=np.int32), cap_rows
+    )
+    src = np.asarray(src)[np.asarray(row_valid)]
+    seq_id = np.asarray(seq_id)[np.asarray(row_valid)]
+    pos = np.asarray(pos)[np.asarray(row_valid)]
+    result = SearchResult(
+        query_id=query_ids[q_of_hit[src]].astype(np.int64),
+        seq_id=seq_id.astype(np.int64),
+        pos=pos.astype(np.int64),
+        errors=err[src].astype(np.int64),
+    )
+    if max_hits > 0:
+        keep = np.zeros(len(result.query_id), dtype=bool)
+        seen: dict[int, int] = {}
+        for i, q in enumerate(result.query_id):
+            c = seen.get(int(q), 0)
+            if c < max_hits:
+                keep[i] = True
+                seen[int(q)] = c + 1
+        result = SearchResult(
+            result.query_id[keep], result.seq_id[keep], result.pos[keep], result.errors[keep]
+        )
+    return result
+
+
+def _run_workq_grouped(
+    index: DeviceIndex,
+    qarr: np.ndarray,
+    tape: SchemeTape,
+    qids: np.ndarray,
+    *,
+    edit: bool,
+    active: np.ndarray | None,
+    max_hits: int,
+    chunk: int,
+) -> SearchResult:
+    """Work-queue engine driver: chunk queries to the meta-packing limit and
+    split schemes with more than MAX_NS searches into tape groups."""
+    ns_total = tape.num_searches
+    results: list[SearchResult] = []
+    groups = [
+        SchemeTape(
+            side=tape.side[g : g + MAX_NS],
+            qpos=tape.qpos[g : g + MAX_NS],
+            lo=tape.lo[g : g + MAX_NS],
+            hi=tape.hi[g : g + MAX_NS],
+        )
+        for g in range(0, ns_total, MAX_NS)
+    ]
+    chunk = min(chunk, MAX_NQ)
+    nq = qarr.shape[0]
+    act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+    for start in range(0, nq, chunk):
+        q = qarr[start : start + chunk]
+        a = act_all[start : start + chunk]
+        ids = qids[start : start + chunk]
+        if q.shape[0] < chunk and nq > chunk:  # pad to the compiled shape
+            pad_n = chunk - q.shape[0]
+            q = np.concatenate([q, np.zeros((pad_n, q.shape[1]), dtype=q.dtype)])
+            a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
+            ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
+        for gt in groups:
+            hits = run_workq_search(index, q, gt, edit=edit, active=a)
+            results.append(
+                _locate_flat_hits(index, hits, gt.num_searches, ids, max_hits=0)
+            )
+    merged = _merge_results(results)
+    if max_hits > 0:
+        keep = np.zeros(len(merged.query_id), dtype=bool)
+        seen: dict[int, int] = {}
+        for i, qv in enumerate(merged.query_id):
+            c = seen.get(int(qv), 0)
+            if c < max_hits:
+                keep[i] = True
+                seen[int(qv)] = c + 1
+        merged = SearchResult(
+            merged.query_id[keep], merged.seq_id[keep], merged.pos[keep], merged.errors[keep]
+        )
+    return merged
+
+
+def _merge_results(results: list[SearchResult]) -> SearchResult:
+    if not results:
+        z = np.zeros(0, dtype=np.int64)
+        return SearchResult(z, z, z, z)
+    merged = SearchResult(
+        query_id=np.concatenate([r.query_id for r in results]),
+        seq_id=np.concatenate([r.seq_id for r in results]),
+        pos=np.concatenate([r.pos for r in results]),
+        errors=np.concatenate([r.errors for r in results]),
+    )
+    order = np.argsort(merged.query_id, kind="stable")
+    return SearchResult(
+        merged.query_id[order], merged.seq_id[order], merged.pos[order], merged.errors[order]
+    )
+
+
 def search_queries(
     index: DeviceIndex,
     queries: list[np.ndarray],
@@ -138,6 +257,7 @@ def search_queries(
     s_cap: int = 64,
     h_cap: int = 32,
     chunk: int = 1024,
+    engine: str = "workq",
     verbose_cb=None,
 ) -> SearchResult:
     """Approximate search of rank-array queries against a bidirectional
@@ -164,10 +284,18 @@ def search_queries(
             if not edit:
                 ess = limit_to_hamming(ess)
             tape = compile_tape(ess)
-            hits = run_scheme_search_chunked(
-                index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
-            )
-            results.append(_locate_hits(index, hits, qids, max_hits=max_hits))
+            if engine == "workq":
+                results.append(
+                    _run_workq_grouped(
+                        index, qarr, tape, qids, edit=edit, active=None,
+                        max_hits=max_hits, chunk=chunk,
+                    )
+                )
+            else:
+                hits = run_scheme_search_chunked(
+                    index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
+                )
+                results.append(_locate_hits(index, hits, qids, max_hits=max_hits))
         elif mode == "besthits":
             # strata j = 0..k: stop per query at the first stratum with hits
             # (search_ng21::search_best semantics, search.cpp:234-240)
@@ -182,10 +310,16 @@ def search_queries(
                 if not edit:
                     ess = limit_to_hamming(ess)
                 tape = compile_tape(ess)
-                hits = run_scheme_search_chunked(
-                    index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk
-                )
-                res = _locate_hits(index, hits, qids, max_hits=max_hits)
+                if engine == "workq":
+                    res = _run_workq_grouped(
+                        index, qarr, tape, qids, edit=edit, active=active,
+                        max_hits=max_hits, chunk=chunk,
+                    )
+                else:
+                    hits = run_scheme_search_chunked(
+                        index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk
+                    )
+                    res = _locate_hits(index, hits, qids, max_hits=max_hits)
                 results.append(res)
                 found = set(res.query_id.tolist())
                 for li, qi in enumerate(qids):

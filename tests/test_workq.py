@@ -1,0 +1,74 @@
+"""Work-queue engine (v2) must produce bit-identical hit multisets to the
+frontier engine (v1), which is itself oracle-verified (tests/test_approx.py)."""
+
+import numpy as np
+import pytest
+
+from sahara_tpu.engine.approx import run_scheme_search
+from sahara_tpu.engine.device import DeviceIndex
+from sahara_tpu.engine.driver import search_queries
+from sahara_tpu.engine.tape import compile_tape
+from sahara_tpu.engine.workq import run_workq_search
+from sahara_tpu.index.build import build_bifmindex
+from sahara_tpu.schemes import GENERATORS, expand, limit_to_hamming
+
+
+@pytest.fixture(scope="module")
+def fixture():
+    rng = np.random.default_rng(7)
+    seqs = [rng.integers(1, 5, size=ln).astype(np.uint8) for ln in (300, 150, 80)]
+    dev = DeviceIndex.from_host(build_bifmindex(seqs, 6, "d_dna5"))
+    m = 20
+    qs = []
+    for i in range(6):
+        s = seqs[i % 3]
+        p = (i * 13) % (len(s) - m)
+        q = s[p : p + m].copy()
+        if i % 2:
+            q[5] = 1 + (q[5] % 4)
+        qs.append(q)
+    return seqs, dev, np.stack(qs).astype(np.int32)
+
+
+def _v1_multiset(v1):
+    out = []
+    nq, ns, _ = v1.lb.shape
+    for q in range(nq):
+        for s in range(ns):
+            for h in range(v1.count[q, s]):
+                out.append((q * ns + s, int(v1.lb[q, s, h]), int(v1.sz[q, s, h]), int(v1.err[q, s, h])))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("gen", ["optimum", "h2-k2"])
+@pytest.mark.parametrize("edit", [False, True])
+def test_workq_matches_frontier_engine(fixture, gen, edit):
+    _, dev, qarr = fixture
+    k = 2
+    ess = expand(GENERATORS[gen].generator(0, k, 0, 0), qarr.shape[1])
+    if not edit:
+        ess = limit_to_hamming(ess)
+    tape = compile_tape(ess)
+    v1 = run_scheme_search(dev, qarr, tape, edit=edit, s_cap=128, h_cap=64)
+    v2 = run_workq_search(dev, qarr, tape, edit=edit)
+    s2 = sorted(zip(v2.lane.tolist(), v2.lb.tolist(), v2.sz.tolist(), v2.err.tolist()))
+    assert _v1_multiset(v1) == s2
+
+
+def test_workq_active_mask(fixture):
+    _, dev, qarr = fixture
+    tape = compile_tape(expand(GENERATORS["optimum"].generator(0, 1, 0, 0), qarr.shape[1]))
+    active = np.array([True, False, True, False, True, False])
+    hits = run_workq_search(dev, qarr, tape, edit=False, active=active)
+    lanes_q = set((hits.lane // tape.num_searches).tolist())
+    assert lanes_q <= {0, 2, 4}
+
+
+def test_driver_engines_agree(fixture):
+    seqs, dev, qarr = fixture
+    queries = [qarr[i] for i in range(qarr.shape[0])]
+    r1 = search_queries(dev, queries, k=1, generator_name="optimum", edit=True, engine="frontier")
+    r2 = search_queries(dev, queries, k=1, generator_name="optimum", edit=True, engine="workq")
+    s1 = sorted(zip(r1.query_id.tolist(), r1.seq_id.tolist(), r1.pos.tolist()))
+    s2 = sorted(zip(r2.query_id.tolist(), r2.seq_id.tolist(), r2.pos.tolist()))
+    assert s1 == s2
