@@ -18,3 +18,16 @@ Reference behavior being reproduced: /root/reference/src/sahara/*.cpp
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# XLA compiles of the search scans cost minutes on TPU backends; a
+# persistent compilation cache makes every run after the first start
+# instantly.  Opt out with SAHARA_NO_COMPILE_CACHE=1.
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ and not _os.environ.get("SAHARA_NO_COMPILE_CACHE"):
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "sahara_tpu", "jax")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+    except OSError:
+        pass
