@@ -74,19 +74,24 @@ class SearchHits:
 
 def _compact(dest: jax.Array, cap: int, fields: list[jax.Array], base=None) -> list[jax.Array]:
     """Scatter-compact candidate fields [B, C] into [B, cap] buffers using
-    per-lane destinations (dump slot = cap).  ``base`` optionally supplies
-    existing buffers to scatter into (used for hit accumulation)."""
+    per-lane destinations (dest >= cap means dead).  Dead elements get an
+    out-of-bounds flat destination so mode="drop" discards them before any
+    memory write — a shared in-bounds dump slot would serialize its
+    colliding writes on TPU.  ``base`` optionally supplies existing buffers
+    to scatter into (used for hit accumulation)."""
     b = dest.shape[0]
-    flat_dest = (jnp.arange(b, dtype=jnp.int32)[:, None] * (cap + 1) + dest).reshape(-1)
+    ok = dest < cap
+    flat_dest = jnp.where(
+        ok, jnp.arange(b, dtype=jnp.int32)[:, None] * cap + dest, b * cap
+    ).reshape(-1)
     out = []
     for i, f in enumerate(fields):
         if base is None:
-            buf = jnp.zeros((b * (cap + 1),), dtype=f.dtype)
+            buf = jnp.zeros((b * cap,), dtype=f.dtype)
         else:
-            pad = jnp.zeros((b, 1), dtype=f.dtype)
-            buf = jnp.concatenate([base[i], pad], axis=1).reshape(-1)
+            buf = base[i].reshape(-1)
         buf = buf.at[flat_dest].set(f.reshape(-1), mode="drop")
-        out.append(buf.reshape(b, cap + 1)[:, :cap])
+        out.append(buf.reshape(b, cap))
     return out
 
 

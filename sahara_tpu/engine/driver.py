@@ -17,7 +17,7 @@ from sahara_tpu.engine.approx import SearchHits, run_scheme_search_chunked
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.locate import locate
 from sahara_tpu.engine.tape import SchemeTape, compile_tape
-from sahara_tpu.engine.workq import MAX_NQ, MAX_NS, FlatHits, run_workq_search
+from sahara_tpu.engine.workq import MAX_NQ, MAX_NS, FlatHits, run_workq_search, upload_tape
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
 from sahara_tpu.schemes.costs import node_count, optimize_by_wnc, weighted_node_count
 from sahara_tpu.schemes.types import Scheme
@@ -196,6 +196,7 @@ def _run_workq_grouped(
         )
         for g in range(0, ns_total, MAX_NS)
     ]
+    group_tapes = [upload_tape(g) for g in groups]
     chunk = min(chunk, MAX_NQ)
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
@@ -208,8 +209,8 @@ def _run_workq_grouped(
             q = np.concatenate([q, np.zeros((pad_n, q.shape[1]), dtype=q.dtype)])
             a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
             ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
-        for gt in groups:
-            hits = run_workq_search(index, q, gt, edit=edit, active=a)
+        for gt, dt in zip(groups, group_tapes):
+            hits = run_workq_search(index, q, gt, edit=edit, active=a, device_tape=dt)
             results.append(
                 _locate_flat_hits(index, hits, gt.num_searches, ids, max_hits=0)
             )

@@ -123,8 +123,8 @@ def workq_search(
     k: int,
     ph0: int,
 ):
-    """Returns (h_lane, h_lb, h_sz, h_err int32[hq_cap], n_hits, q_overflow,
-    h_overflow)."""
+    """Returns one packed int32 array [4*hq_cap + 8]:
+    h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow, pad)."""
     nq = queries.shape[0]
     sigma = index.sigma
     b = nq * ns
@@ -207,12 +207,15 @@ def workq_search(
             done = alive & (d >= m)
             finished = done & ((opf & (_EDGE_L | _EDGE_R)) == 0)
             fpos, ftot = _positions(finished, tri)
-            fdest = jnp.where(finished, jnp.minimum(n_hits + fpos, hq_cap), hq_cap)
+            # dead/overflow slots get an out-of-bounds destination: with
+            # mode="drop" they never reach memory (a shared in-bounds dump
+            # slot would serialize millions of colliding writes on TPU)
+            fdest = jnp.where(finished, n_hits + fpos, hq_cap)
             idxs = jnp.arange(q_cap, dtype=jnp.int32)
             sel_h = (
-                jnp.full(hq_cap + 1, q_cap, dtype=jnp.int32)
+                jnp.full(hq_cap, q_cap, dtype=jnp.int32)
                 .at[fdest]
-                .set(idxs, mode="drop")[:hq_cap]
+                .set(idxs, mode="drop")
             )
             got = sel_h < q_cap
             sel_hc = jnp.minimum(sel_h, q_cap - 1)
@@ -280,8 +283,8 @@ def workq_search(
         pos, total = _positions(fl, tri)
         q_ovf = q_ovf | (total > q_cap)
         cand_ids = jnp.arange(q_cap * e_pad, dtype=jnp.int32)
-        dest = jnp.where(fl & (pos < q_cap), pos, q_cap)
-        sel = jnp.zeros(q_cap + 1, dtype=jnp.int32).at[dest].set(cand_ids, mode="drop")[:q_cap]
+        dest = jnp.where(fl, pos, q_cap)  # dead -> out of bounds -> dropped
+        sel = jnp.zeros(q_cap, dtype=jnp.int32).at[dest].set(cand_ids, mode="drop")
         sel = lax.optimization_barrier(sel)
         live = jnp.arange(q_cap, dtype=jnp.int32) < jnp.minimum(total, q_cap)
 
@@ -361,7 +364,13 @@ def workq_search(
         tail_body, (state, hits0, n_hits0, q_ovf, ovf0), None, length=tail_steps
     )
     h_lane, h_lb, h_sz, h_err = hits
-    return h_lane, h_lb, h_sz, h_err, n_hits, q_ovf, h_ovf
+    # pack everything into ONE output array: device->host transfers pay a
+    # large fixed latency on tunneled backends, so one transfer, not seven
+    tailvals = jnp.zeros(8, dtype=jnp.int32)
+    tailvals = tailvals.at[0].set(n_hits)
+    tailvals = tailvals.at[1].set(q_ovf.astype(jnp.int32))
+    tailvals = tailvals.at[2].set(h_ovf.astype(jnp.int32))
+    return jnp.concatenate([h_lane, h_lb, h_sz, h_err, tailvals])
 
 
 def phase0_length(tape: SchemeTape, edit: bool) -> int:
@@ -377,6 +386,12 @@ def phase0_length(tape: SchemeTape, edit: bool) -> int:
     return ph0
 
 
+# last successful (q_cap, hq_cap) per workload signature: retries are
+# expensive (a full extra search run + possibly a compile), so later calls
+# start from capacities that worked
+_CAP_MEMORY: dict[tuple, tuple[int, int]] = {}
+
+
 def run_workq_search(
     index: DeviceIndex,
     queries: np.ndarray,
@@ -387,8 +402,12 @@ def run_workq_search(
     q_mult: int = 16,
     hit_mult: int = 32,
     max_retries: int = 4,
+    device_tape: tuple | None = None,
 ) -> FlatHits:
-    """Host wrapper with overflow retry (doubling queue/hit capacity)."""
+    """Host wrapper with overflow retry (doubling queue/hit capacity).
+
+    ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
+    device arrays so repeated chunk calls skip the host->device latency."""
     nq, m = queries.shape
     ns = tape.num_searches
     k = tape.max_errors
@@ -396,29 +415,34 @@ def run_workq_search(
     ph0 = phase0_length(tape, edit)
     queries_j = jnp.asarray(queries, dtype=jnp.int32)
     act = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
-    t_side = jnp.asarray(tape.side)
-    t_qpos = jnp.asarray(tape.qpos)
-    t_lo = jnp.asarray(tape.lo)
-    t_hi = jnp.asarray(tape.hi)
+    if device_tape is None:
+        device_tape = upload_tape(tape)
+    t_side, t_qpos, t_lo, t_hi = device_tape
 
     def round_up(x, mult=_BLK):
         return max(((x + mult - 1) // mult) * mult, mult)
 
-    q_cap = round_up(b * q_mult)
-    hq_cap = round_up(nq * hit_mult)
+    cap_key = (nq, ns, m, k, edit, int(index.n))
+    q_cap, hq_cap = _CAP_MEMORY.get(
+        cap_key, (round_up(b * q_mult), round_up(nq * hit_mult))
+    )
     for attempt in range(max_retries):
-        h_lane, h_lb, h_sz, h_err, n_hits, q_ovf, h_ovf = workq_search(
+        packed = workq_search(
             index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
             edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
         )
-        q_ovf_b, h_ovf_b = bool(q_ovf), bool(h_ovf)
+        packed = np.asarray(packed)  # ONE device->host transfer
+        n_hits = int(packed[4 * hq_cap])
+        q_ovf_b = bool(packed[4 * hq_cap + 1])
+        h_ovf_b = bool(packed[4 * hq_cap + 2])
         if not (q_ovf_b or h_ovf_b) or attempt == max_retries - 1:
-            n = int(n_hits)
+            _CAP_MEMORY[cap_key] = (q_cap, hq_cap)
+            n = n_hits
             return FlatHits(
-                lane=np.asarray(h_lane)[:n],
-                lb=np.asarray(h_lb)[:n],
-                sz=np.asarray(h_sz)[:n],
-                err=np.asarray(h_err)[:n],
+                lane=packed[:n],
+                lb=packed[hq_cap : hq_cap + n],
+                sz=packed[2 * hq_cap : 2 * hq_cap + n],
+                err=packed[3 * hq_cap : 3 * hq_cap + n],
                 n_hits=n,
                 queue_overflow=q_ovf_b,
                 hit_overflow=h_ovf_b,
@@ -428,3 +452,13 @@ def run_workq_search(
         if h_ovf_b:
             hq_cap *= 2
     raise AssertionError("unreachable")
+
+
+def upload_tape(tape: SchemeTape) -> tuple:
+    """Upload tape arrays to device once (reused across query chunks)."""
+    return (
+        jnp.asarray(tape.side),
+        jnp.asarray(tape.qpos),
+        jnp.asarray(tape.lo),
+        jnp.asarray(tape.hi),
+    )

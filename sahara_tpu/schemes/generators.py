@@ -37,17 +37,24 @@ def _backtracking(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
     return [Search(pi=(0,), l=(min_k,), u=(max_k,))]
 
 
-def _pigeon_scheme(parts: int, k: int, opt: bool) -> Scheme:
-    """Pigeonhole partitioning: k+1 parts, one search per part that is
-    matched exactly first.  ``opt`` adds lower bounds: search i covers the
-    configs whose *first* zero-error part is i (each part left of i then
-    carries >= 1 error, giving cumulative lower bounds on the left tail)."""
+def _pigeon_scheme(parts: int, k: int, opt: bool, ramp: bool = False) -> Scheme:
+    """Pigeonhole partitioning: one search per possible first-exact part.
+    ``opt`` adds lower bounds: search i covers the configs whose *first*
+    zero-error part is i (each part left of i then carries >= 1 error,
+    giving cumulative lower bounds on the left tail).  ``ramp`` tightens
+    the upper bounds to u_j = min(j, k) — complete when parts >= k + 2
+    (an error budget of j suffices after j+1 parts because some window of
+    j+1 parts among k+2 carries <= j errors), and far cheaper: branching
+    opens one error at a time instead of all k at once."""
     searches = []
     # the first zero-error part is always <= k (k+1 parts each with >= 1
     # error would exceed the budget), so searches beyond i = k are useless
     for i in range(min(parts, k + 1)):
         pi = tuple(range(i, parts)) + tuple(range(i - 1, -1, -1))
-        u = (0,) + (k,) * (parts - 1)
+        if ramp:
+            u = tuple(min(j, k) for j in range(parts))
+        else:
+            u = (0,) + (k,) * (parts - 1)
         if opt:
             l = (0,) * (parts - i) + tuple(range(1, i + 1))
         else:
@@ -153,21 +160,34 @@ def _suffix_filter(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme
 
 def _h2(x: int):
     """The 'h2-kX' hand-tuned family of the reference library: re-derived
-    here as first-zero-part schemes over k+X parts (more parts -> shorter
-    exact seeds but tighter branching windows)."""
+    here as first-zero-part schemes over k+X parts; for X >= 2 the extra
+    parts admit ramped upper bounds (u_j = min(j, k)), the main node-count
+    saver."""
 
     def gen(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
         if max_k == 0:
             return raise_min_errors(_exact_scheme(), min_k)
         parts = max_k + x
-        return raise_min_errors(_pigeon_scheme(parts, max_k, opt=True), min_k)
+        return _ramped_or_fallback(parts, min_k, max_k, ramp=x >= 2)
 
     return gen
 
 
+def _ramped_or_fallback(parts: int, min_k: int, max_k: int, ramp: bool) -> Scheme:
+    """Ramped bounds when they stay complete for [minK, maxK] (the ramp +
+    raised-minimum interplay can lose exact-k strata at higher k) — checked
+    at generation time, falling back to the plain pigeonhole bounds."""
+    if ramp:
+        ss = raise_min_errors(_pigeon_scheme(parts, max_k, opt=True, ramp=True), min_k)
+        if is_complete(ss, min_k, max_k):
+            return ss
+    return raise_min_errors(_pigeon_scheme(parts, max_k, opt=True, ramp=False), min_k)
+
+
 def _kucherov(extra: int):
     """Kucherov, Salikhov & Tsur 2014 style schemes with k+extra parts,
-    re-derived as first-zero-part schemes (see module docstring)."""
+    re-derived as first-zero-part schemes with ramped bounds where the part
+    count admits them (see module docstring)."""
 
     def gen(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
         if max_k == 0:
@@ -179,7 +199,7 @@ def _kucherov(extra: int):
             ]
             return raise_min_errors(ss, min_k)
         parts = max_k + extra
-        return raise_min_errors(_pigeon_scheme(parts, max_k, opt=True), min_k)
+        return _ramped_or_fallback(parts, min_k, max_k, ramp=extra >= 2)
 
     return gen
 
