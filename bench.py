@@ -4,31 +4,34 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = the north-star target 10M 100bp reads/min at e=2 on v5e-8
 (BASELINE.md), i.e. 166,667 q/s per 8-chip slice — scaled to a single-chip
 share of 20,833 q/s since this harness runs on one chip.
+
+Measures the full production path (scheme search + locate) in steady state:
+the first pass warms compile caches and the engine's capacity auto-tuning,
+the second pass is timed.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
-# single-chip share of the north-star: 10M reads/min / 8 chips
 BASELINE_QPS_PER_CHIP = 10_000_000 / 60 / 8
 
-REF_MB = float(__import__("os").environ.get("SAHARA_BENCH_REF_MB", 8))
-N_QUERIES = int(__import__("os").environ.get("SAHARA_BENCH_QUERIES", 20000))
+REF_MB = float(os.environ.get("SAHARA_BENCH_REF_MB", 8))
+N_QUERIES = int(os.environ.get("SAHARA_BENCH_QUERIES", 8192))
 READ_LEN = 100
 ERRORS = 2
+GENERATOR = os.environ.get("SAHARA_BENCH_GENERATOR", "h2-k2")
 
 
 def main() -> None:
-    from sahara_tpu.engine.approx import run_scheme_search_chunked
     from sahara_tpu.engine.device import DeviceIndex
-    from sahara_tpu.engine.tape import compile_tape
+    from sahara_tpu.engine.driver import search_queries
     from sahara_tpu.index.build import build_bifmindex
-    from sahara_tpu.schemes import GENERATORS, expand
-    from sahara_tpu.sim.read_simulator import Transcript
 
     rng = np.random.default_rng(1234)
     n_ref = int(REF_MB * 1_000_000)
@@ -39,28 +42,27 @@ def main() -> None:
     index = DeviceIndex.from_host(host)
     t_build = time.monotonic() - t0
 
-    # queries: reads sampled from the reference with <= ERRORS planted errors
-    queries = np.empty((N_QUERIES, READ_LEN), dtype=np.int32)
-    starts = rng.integers(0, n_ref - READ_LEN - ERRORS, size=N_QUERIES)
-    for i, p in enumerate(starts):
-        tr = Transcript.generate(rng, READ_LEN, sub=int(rng.integers(0, ERRORS + 1)))
-        span = ref[p : p + tr.length_of_ref]
-        read = np.frombuffer(bytes(span), dtype=np.uint8).copy()
-        # plant substitutions directly in rank space (cheap path)
-        subs = [j for j, op in enumerate(tr.ops) if op == "S"]
-        for j in subs:
+    # queries: reads sampled from the reference with <= ERRORS substitutions
+    queries = []
+    starts = rng.integers(0, n_ref - READ_LEN, size=N_QUERIES)
+    n_subs = rng.integers(0, ERRORS + 1, size=N_QUERIES)
+    for p, ns_ in zip(starts, n_subs):
+        read = ref[p : p + READ_LEN].copy()
+        for j in rng.choice(READ_LEN, size=ns_, replace=False):
             read[j] = 1 + (read[j] - 1 + rng.integers(1, 4)) % 4
-        queries[i] = read[:READ_LEN]
+        queries.append(read)
 
-    ess = expand(GENERATORS["h2-k2"].generator(0, ERRORS, 0, 0), READ_LEN)
-    tape = compile_tape(ess)
-
-    # warmup (compile one chunk shape)
-    chunk = 1024
-    run_scheme_search_chunked(index, queries[:chunk], tape, edit=True, s_cap=64, h_cap=16, chunk=chunk)
+    kw = dict(k=ERRORS, generator_name=GENERATOR, edit=True, chunk=2048)
 
     t0 = time.monotonic()
-    hits = run_scheme_search_chunked(index, queries, tape, edit=True, s_cap=64, h_cap=16, chunk=chunk)
+    r = search_queries(index, queries, **kw)  # compile + cap tuning
+    t_warm = time.monotonic() - t0
+    t0 = time.monotonic()
+    r = search_queries(index, queries, **kw)  # may recompile right-sized caps
+    t_tune = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    r = search_queries(index, queries, **kw)
     dt = time.monotonic() - t0
     qps = N_QUERIES / dt
 
@@ -71,11 +73,9 @@ def main() -> None:
         "vs_baseline": round(qps / BASELINE_QPS_PER_CHIP, 4),
     }
     print(json.dumps(result))
-    import sys
-
     print(
-        f"# ref={REF_MB}MB build={t_build:.1f}s search={dt:.2f}s "
-        f"hits={int(hits.count.sum())} overflow={bool(hits.any_overflow)}",
+        f"# ref={REF_MB}MB build={t_build:.1f}s warm={t_warm:.1f}s tune={t_tune:.1f}s "
+        f"steady={dt:.2f}s hits={len(r.query_id)}",
         file=sys.stderr,
     )
 

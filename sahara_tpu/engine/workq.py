@@ -65,6 +65,7 @@ class FlatHits:
     n_hits: int
     queue_overflow: bool
     hit_overflow: bool
+    max_live: int = 0
 
 
 def _positions(flags: jax.Array, tri: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -193,7 +194,7 @@ def workq_search(
     state0 = state0.at[:b, 2].set(sz0)
     state0 = state0.at[:b, 3].set(jnp.where(sz0 > 0, meta0, 0))
 
-    def expand_step(state, drain, hits, n_hits, q_ovf, h_ovf):
+    def expand_step(state, drain, hits, n_hits, q_ovf, h_ovf, max_live):
         """One generic step: candidates -> compaction -> new state matrix."""
         q_lb, q_lbr, q_sz, meta = state[:, 0], state[:, 1], state[:, 2], state[:, 3]
         opf = meta & _OPF_MASK
@@ -282,6 +283,7 @@ def workq_search(
         fl = flags.reshape(-1)
         pos, total = _positions(fl, tri)
         q_ovf = q_ovf | (total > q_cap)
+        max_live = jnp.maximum(max_live, total)
         cand_ids = jnp.arange(q_cap * e_pad, dtype=jnp.int32)
         dest = jnp.where(fl, pos, q_cap)  # dead -> out of bounds -> dropped
         sel = jnp.zeros(q_cap, dtype=jnp.int32).at[dest].set(cand_ids, mode="drop")
@@ -333,7 +335,7 @@ def workq_search(
         new_meta = new_op | (new_err << _ERR_SHIFT) | (new_d << _D_SHIFT) | p_rest
         new_meta = jnp.where(live, new_meta, 0)
         new_state = jnp.stack([new_lb, new_lbr, new_sz, new_meta], axis=1)
-        return new_state, hits, n_hits, q_ovf, h_ovf
+        return new_state, hits, n_hits, q_ovf, h_ovf, max_live
 
     hits0 = (
         jnp.zeros(hq_cap, dtype=jnp.int32),
@@ -349,19 +351,19 @@ def workq_search(
     tail_steps = (m - ph0) + 1 + (k if edit else 0) - main_steps
 
     def main_body(carry, _):
-        state, q_ovf = carry
-        state, _, _, q_ovf, _ = expand_step(state, False, hits0, n_hits0, q_ovf, ovf0)
-        return (state, q_ovf), None
+        state, q_ovf, max_live = carry
+        state, _, _, q_ovf, _, max_live = expand_step(state, False, hits0, n_hits0, q_ovf, ovf0, max_live)
+        return (state, q_ovf, max_live), None
 
-    (state, q_ovf), _ = lax.scan(main_body, (state0, ovf0), None, length=main_steps)
+    (state, q_ovf, max_live), _ = lax.scan(main_body, (state0, ovf0, jnp.int32(0)), None, length=main_steps)
 
     def tail_body(carry, _):
-        state, hits, n_hits, q_ovf, h_ovf = carry
-        state, hits, n_hits, q_ovf, h_ovf = expand_step(state, True, hits, n_hits, q_ovf, h_ovf)
-        return (state, hits, n_hits, q_ovf, h_ovf), None
+        state, hits, n_hits, q_ovf, h_ovf, max_live = carry
+        state, hits, n_hits, q_ovf, h_ovf, max_live = expand_step(state, True, hits, n_hits, q_ovf, h_ovf, max_live)
+        return (state, hits, n_hits, q_ovf, h_ovf, max_live), None
 
-    (state, hits, n_hits, q_ovf, h_ovf), _ = lax.scan(
-        tail_body, (state, hits0, n_hits0, q_ovf, ovf0), None, length=tail_steps
+    (state, hits, n_hits, q_ovf, h_ovf, max_live), _ = lax.scan(
+        tail_body, (state, hits0, n_hits0, q_ovf, ovf0, max_live), None, length=tail_steps
     )
     h_lane, h_lb, h_sz, h_err = hits
     # pack everything into ONE output array: device->host transfers pay a
@@ -370,6 +372,7 @@ def workq_search(
     tailvals = tailvals.at[0].set(n_hits)
     tailvals = tailvals.at[1].set(q_ovf.astype(jnp.int32))
     tailvals = tailvals.at[2].set(h_ovf.astype(jnp.int32))
+    tailvals = tailvals.at[3].set(max_live)
     return jnp.concatenate([h_lane, h_lb, h_sz, h_err, tailvals])
 
 
@@ -390,6 +393,13 @@ def phase0_length(tape: SchemeTape, edit: bool) -> int:
 # expensive (a full extra search run + possibly a compile), so later calls
 # start from capacities that worked
 _CAP_MEMORY: dict[tuple, tuple[int, int]] = {}
+
+
+def _pow2_cap(x: int) -> int:
+    n = _BLK
+    while n < x:
+        n *= 2
+    return n
 
 
 def run_workq_search(
@@ -419,12 +429,9 @@ def run_workq_search(
         device_tape = upload_tape(tape)
     t_side, t_qpos, t_lo, t_hi = device_tape
 
-    def round_up(x, mult=_BLK):
-        return max(((x + mult - 1) // mult) * mult, mult)
-
     cap_key = (nq, ns, m, k, edit, int(index.n))
     q_cap, hq_cap = _CAP_MEMORY.get(
-        cap_key, (round_up(b * q_mult), round_up(nq * hit_mult))
+        cap_key, (_pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult))
     )
     for attempt in range(max_retries):
         packed = workq_search(
@@ -435,8 +442,17 @@ def run_workq_search(
         n_hits = int(packed[4 * hq_cap])
         q_ovf_b = bool(packed[4 * hq_cap + 1])
         h_ovf_b = bool(packed[4 * hq_cap + 2])
+        max_live = int(packed[4 * hq_cap + 3])
         if not (q_ovf_b or h_ovf_b) or attempt == max_retries - 1:
-            _CAP_MEMORY[cap_key] = (q_cap, hq_cap)
+            # right-size future calls from the observed peaks, quantized to
+            # powers of two to bound the number of compiled variants; the
+            # stored value only grows across chunks, so it converges to the
+            # workload's true peak (x1.3 margin) and stays there
+            # pow2 rounding supplies the safety margin in the common case
+            want_q = _pow2_cap(max_live + b)
+            want_h = _pow2_cap(n_hits + _BLK)
+            old_q, old_h = _CAP_MEMORY.get(cap_key, (0, 0))
+            _CAP_MEMORY[cap_key] = (max(want_q, old_q), max(want_h, old_h))
             n = n_hits
             return FlatHits(
                 lane=packed[:n],
@@ -446,6 +462,7 @@ def run_workq_search(
                 n_hits=n,
                 queue_overflow=q_ovf_b,
                 hit_overflow=h_ovf_b,
+                max_live=max_live,
             )
         if q_ovf_b:
             q_cap *= 2
