@@ -15,7 +15,7 @@ import numpy as np
 
 from sahara_tpu.engine.approx import SearchHits, run_scheme_search_chunked
 from sahara_tpu.engine.device import DeviceIndex
-from sahara_tpu.engine.locate import locate
+from sahara_tpu.engine.locate import locate, locate_rows_host
 from sahara_tpu.engine.tape import SchemeTape, compile_tape
 from sahara_tpu.engine.workq import MAX_NQ, MAX_NS, FlatHits, run_workq_search, upload_tape
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
@@ -146,12 +146,9 @@ def _locate_flat_hits(
     q_of_hit = lane_q[order]
 
     cap_rows = max(_next_pow2(int(sz.sum())), 8)
-    src, seq_id, pos, row_valid, _ = locate(
+    src, seq_id, pos = locate_rows_host(
         index, np.asarray(lb, dtype=np.int32), np.asarray(sz, dtype=np.int32), cap_rows
     )
-    src = np.asarray(src)[np.asarray(row_valid)]
-    seq_id = np.asarray(seq_id)[np.asarray(row_valid)]
-    pos = np.asarray(pos)[np.asarray(row_valid)]
     result = SearchResult(
         query_id=query_ids[q_of_hit[src]].astype(np.int64),
         seq_id=seq_id.astype(np.int64),

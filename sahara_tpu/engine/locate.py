@@ -87,3 +87,27 @@ def locate(index: DeviceIndex, lb: jax.Array, ln: jax.Array, cap_rows: int):
     rows, src, valid, total = expand_intervals(lb, ln, cap_rows)
     seq_id, pos = lf_walk(index, jnp.where(valid, rows, 0), valid)
     return src, seq_id, pos, valid, total
+
+
+@partial(jax.jit, static_argnames=("cap_rows",))
+def locate_packed(index: DeviceIndex, lb: jax.Array, ln: jax.Array, cap_rows: int):
+    """Like ``locate`` but returns ONE int32 array [3*cap_rows + 8]:
+    src | seq_id | pos | (total, pad...) with invalid rows marked seq_id=-1
+    — a single device->host transfer (tunneled backends pay per-transfer
+    latency)."""
+    src, seq_id, pos, valid, total = locate(index, lb, ln, cap_rows)
+    tail = jnp.zeros(8, dtype=jnp.int32).at[0].set(jnp.minimum(total, cap_rows))
+    return jnp.concatenate([src, jnp.where(valid, seq_id, -1), pos, tail])
+
+
+def locate_rows_host(index: DeviceIndex, lb, ln, cap_rows: int):
+    """Host helper: run locate_packed and unpack to numpy
+    (src, seq_id, pos) filtered to valid rows."""
+    import numpy as np
+
+    packed = np.asarray(locate_packed(index, jnp.asarray(lb), jnp.asarray(ln), cap_rows))
+    src = packed[:cap_rows]
+    seq_id = packed[cap_rows : 2 * cap_rows]
+    pos = packed[2 * cap_rows : 3 * cap_rows]
+    valid = seq_id >= 0
+    return src[valid], seq_id[valid], pos[valid]
