@@ -207,7 +207,9 @@ def _run_workq_grouped(
             a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
             ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
         for gt, dt in zip(groups, group_tapes):
-            hits = run_workq_search(index, q, gt, edit=edit, active=a, device_tape=dt)
+            # dedup merges states identical in every field (duplicate
+            # enumeration orderings); hit positions are unchanged
+            hits = run_workq_search(index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True)
             results.append(
                 _locate_flat_hits(index, hits, gt.num_searches, ids, max_hits=0)
             )

@@ -105,7 +105,7 @@ def _pack_lane_tape(
 
 @partial(
     jax.jit,
-    static_argnames=("edit", "q_cap", "hq_cap", "m", "ns", "k", "ph0"),
+    static_argnames=("edit", "q_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup"),
 )
 def workq_search(
     index: DeviceIndex,
@@ -123,6 +123,7 @@ def workq_search(
     ns: int,
     k: int,
     ph0: int,
+    dedup: bool = False,
 ):
     """Returns one packed int32 array [4*hq_cap + 8]:
     h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow, pad)."""
@@ -334,6 +335,33 @@ def workq_search(
         new_sz = jnp.where(live, new_sz, 0)
         new_meta = new_op | (new_err << _ERR_SHIFT) | (new_d << _D_SHIFT) | p_rest
         new_meta = jnp.where(live, new_meta, 0)
+
+        if dedup:
+            # merge PURE duplicates: states identical in every field (they
+            # arise from different operation orderings — e.g. I..D vs D..I —
+            # with identical futures).  One hash probe; collisions between
+            # distinct states are simply not merged (safe).  Hit sets are
+            # unchanged; only duplicate multiplicity shrinks.
+            hsh = (
+                new_lb * jnp.int32(0x9E3779B1 - (1 << 32))
+                ^ new_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
+                ^ new_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
+                ^ new_meta * jnp.int32(0x27D4EB2F)
+            ) & (q_cap - 1)
+            row_ids = jnp.arange(q_cap, dtype=jnp.int32)
+            table = jnp.zeros(q_cap, dtype=jnp.int32).at[hsh].set(row_ids)
+            win = jnp.take(table, hsh)
+            w_lb = jnp.take(new_lb, win)
+            w_lbr = jnp.take(new_lbr, win)
+            w_sz = jnp.take(new_sz, win)
+            w_meta = jnp.take(new_meta, win)
+            same = (
+                (w_lb == new_lb) & (w_lbr == new_lbr)
+                & (w_sz == new_sz) & (w_meta == new_meta)
+            )
+            kill = same & (win != row_ids) & (new_sz > 0)
+            new_sz = jnp.where(kill, 0, new_sz)
+
         new_state = jnp.stack([new_lb, new_lbr, new_sz, new_meta], axis=1)
         return new_state, hits, n_hits, q_ovf, h_ovf, max_live
 
@@ -413,6 +441,7 @@ def run_workq_search(
     hit_mult: int = 32,
     max_retries: int = 4,
     device_tape: tuple | None = None,
+    dedup: bool = False,
 ) -> FlatHits:
     """Host wrapper with overflow retry (doubling queue/hit capacity).
 
@@ -429,7 +458,7 @@ def run_workq_search(
         device_tape = upload_tape(tape)
     t_side, t_qpos, t_lo, t_hi = device_tape
 
-    cap_key = (nq, ns, m, k, edit, int(index.n))
+    cap_key = (nq, ns, m, k, edit, dedup, int(index.n))
     q_cap, hq_cap = _CAP_MEMORY.get(
         cap_key, (_pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult))
     )
@@ -437,6 +466,7 @@ def run_workq_search(
         packed = workq_search(
             index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
             edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
+            dedup=dedup,
         )
         packed = np.asarray(packed)  # ONE device->host transfer
         n_hits = int(packed[4 * hq_cap])
