@@ -19,6 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sahara_tpu.engine.approx import SearchHits, scheme_search
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.tape import SchemeTape
+from sahara_tpu.engine.workq import FlatHits, phase0_length, workq_search
 from sahara_tpu.parallel.mesh import DATA_AXIS, shard_queries
 
 
@@ -74,7 +75,6 @@ def distributed_scheme_search(
         index, q_sharded, t_side, t_qpos, t_lo, t_hi, act_sharded
     )
 
-    b = nq_pad * ns
     hits = SearchHits(
         lb=np.asarray(h_lb).reshape(nq_pad, ns, h_cap)[:nq_orig],
         sz=np.asarray(h_sz).reshape(nq_pad, ns, h_cap)[:nq_orig],
@@ -84,3 +84,91 @@ def distributed_scheme_search(
         hit_overflow=np.asarray(hovf).reshape(nq_pad, ns)[:nq_orig],
     )
     return hits, int(total)
+
+
+def distributed_workq_search(
+    mesh,
+    index: DeviceIndex,
+    queries: np.ndarray,  # [nq, m] host batch (uniform length)
+    tape: SchemeTape,
+    *,
+    edit: bool,
+    q_mult: int = 16,
+    hit_mult: int = 64,
+    dedup: bool = True,
+) -> tuple[FlatHits, int]:
+    """Data-parallel work-queue search: each device runs the v2 engine on
+    its query shard against the replicated index; per-shard packed hit
+    arrays come back stacked along the data axis, the global hit count is
+    reduced with psum.
+
+    Returns (FlatHits with lanes over the ORIGINAL query ids, total)."""
+    nq, m = queries.shape
+    ns = tape.num_searches
+    k = tape.max_errors
+    ph0 = phase0_length(tape, edit)
+    q_sharded, nq_orig = shard_queries(queries, mesh)
+    nq_pad = q_sharded.shape[0]
+    n_dev = mesh.devices.size
+    nq_local = nq_pad // n_dev
+
+    def _cap(x):
+        n = 512
+        while n < x:
+            n *= 2
+        return n
+
+    q_cap = _cap(nq_local * ns * q_mult)
+    hq_cap = _cap(nq_local * hit_mult)
+
+    t_side = jnp.asarray(tape.side)
+    t_qpos = jnp.asarray(tape.qpos)
+    t_lo = jnp.asarray(tape.lo)
+    t_hi = jnp.asarray(tape.hi)
+    active = np.arange(nq_pad) < nq_orig
+
+    def shard_fn(index, q_shard, side, qpos, lo, hi, act):
+        packed = workq_search(
+            index, q_shard, side, qpos, lo, hi, act,
+            edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
+            dedup=dedup,
+        )
+        total = jax.lax.psum(packed[4 * hq_cap], DATA_AXIS)
+        return packed.reshape(1, -1), total.reshape(1)
+
+    idx_spec = jax.tree.map(lambda _: P(), index)
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(idx_spec, P(DATA_AXIS, None), P(), P(), P(), P(), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    act_sharded = jax.device_put(active, NamedSharding(mesh, P(DATA_AXIS)))
+    packed_all, totals = jax.jit(fn)(index, q_sharded, t_side, t_qpos, t_lo, t_hi, act_sharded)
+    packed_all = np.asarray(packed_all)  # [n_dev, 4*hq_cap+8]
+
+    lanes, lbs, szs, errs = [], [], [], []
+    overflow_q = overflow_h = False
+    for shard in range(n_dev):
+        p = packed_all[shard]
+        n = int(p[4 * hq_cap])
+        overflow_q |= bool(p[4 * hq_cap + 1])
+        overflow_h |= bool(p[4 * hq_cap + 2])
+        lane = p[:n] + shard * nq_local * ns  # shift local lanes to global
+        lanes.append(lane)
+        lbs.append(p[hq_cap : hq_cap + n])
+        szs.append(p[2 * hq_cap : 2 * hq_cap + n])
+        errs.append(p[3 * hq_cap : 3 * hq_cap + n])
+    lane = np.concatenate(lanes) if lanes else np.zeros(0, np.int32)
+    keep = (lane // ns) < nq_orig
+    hits = FlatHits(
+        lane=lane[keep],
+        lb=np.concatenate(lbs)[keep],
+        sz=np.concatenate(szs)[keep],
+        err=np.concatenate(errs)[keep],
+        n_hits=int(keep.sum()),
+        queue_overflow=overflow_q,
+        hit_overflow=overflow_h,
+    )
+    return hits, hits.n_hits
