@@ -73,3 +73,22 @@ def test_driver_engines_agree(fixture):
     s1 = set(zip(r1.query_id.tolist(), r1.seq_id.tolist(), r1.pos.tolist()))
     s2 = set(zip(r2.query_id.tolist(), r2.seq_id.tolist(), r2.pos.tolist()))
     assert s1 == s2
+
+
+def test_scheme_with_many_searches_splits_into_groups(fixture):
+    """01*0 at k=3 yields 10 searches > MAX_NS=8, exercising the driver's
+    tape-group splitting; results must still match the Hamming oracle."""
+    from tests.util import brute_approx_hits
+
+    seqs, dev, _ = fixture
+    rng = np.random.default_rng(3)
+    m, k = 18, 3
+    qs = [seqs[0][i * 11 : i * 11 + m].copy() for i in range(3)]
+    qs[1][4] = 1 + (qs[1][4] % 4)
+    r = search_queries(dev, qs, k=k, generator_name="01*0", edit=False)
+    got = set(zip(r.query_id.tolist(), r.seq_id.tolist(), r.pos.tolist()))
+    want = set()
+    for qi, q in enumerate(qs):
+        for sid, pos in brute_approx_hits(seqs, q, k, hamming=True):
+            want.add((qi, sid, pos))
+    assert got == want
