@@ -11,7 +11,7 @@ read mapper driven by Optimum Search Schemes) for TPU hardware:
   search-scheme "tape" under ``jax.jit`` (see ``sahara_tpu.engine``).
 - Locate is a batched LF-walk to the sampled suffix array.
 - Scaling is data-parallel over queries via ``jax.sharding.Mesh`` with the
-  index replicated per device (see ``sahara_tpu.dist``).
+  index replicated per device (see ``sahara_tpu.parallel``).
 
 Reference behavior being reproduced: /root/reference/src/sahara/*.cpp
 (see SURVEY.md for the full component inventory).

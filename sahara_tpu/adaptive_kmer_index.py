@@ -20,6 +20,7 @@ from sahara_tpu.engine.exact import exact_search
 from sahara_tpu.engine.locate import locate
 from sahara_tpu.index.build import build_fmindex
 from sahara_tpu.index.fmindex import FMIndex
+from sahara_tpu.utils.errors import SaharaError
 
 FILE_FORMAT_VERSION = 0x01
 _SIGMA_BUCKETS = (3, 4, 5, 6, 16, 32, 64, 128)
@@ -29,7 +30,10 @@ def _bucket_sigma(largest_value: int) -> int:
     for b in _SIGMA_BUCKETS:
         if largest_value < b:
             return b
-    raise ValueError(f"text with values above 128 is not allowed (requested largest value: {largest_value})")
+    # user-facing error (the reference throws its error_fmt for the same
+    # >128 limit, AdaptiveKmerIndex.cpp) so the CLI exits with the clean
+    # formatted message instead of a traceback
+    raise SaharaError(f"text with values above 128 is not allowed (requested largest value: {largest_value})")
 
 
 @dataclasses.dataclass

@@ -210,6 +210,15 @@ def _run_workq_grouped(
             # dedup merges states identical in every field (duplicate
             # enumeration orderings); hit positions are unchanged
             hits = run_workq_search(index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True)
+            if hits.queue_overflow or hits.hit_overflow:
+                # the engine is exact only when its static buffers held; a
+                # persistent overflow after the doubling retries means hits
+                # were dropped — never return silently-partial results
+                raise RuntimeError(
+                    "scheme search overflowed its work buffers after retries "
+                    f"(queue_overflow={hits.queue_overflow}, hit_overflow={hits.hit_overflow}); "
+                    "the reference text is pathologically repetitive for this capacity"
+                )
             results.append(
                 _locate_flat_hits(index, hits, gt.num_searches, ids, max_hits=0)
             )
@@ -295,6 +304,11 @@ def search_queries(
                 hits = run_scheme_search_chunked(
                     index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
                 )
+                if hits.any_overflow():
+                    raise RuntimeError(
+                        "scheme search overflowed its frontier/hit buffers after retries; "
+                        "hits would be silently dropped"
+                    )
                 results.append(_locate_hits(index, hits, qids, max_hits=max_hits))
         elif mode == "besthits":
             # strata j = 0..k: stop per query at the first stratum with hits
@@ -319,6 +333,11 @@ def search_queries(
                     hits = run_scheme_search_chunked(
                         index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk
                     )
+                    if hits.any_overflow():
+                        raise RuntimeError(
+                            "scheme search overflowed its frontier/hit buffers after retries; "
+                            "hits would be silently dropped"
+                        )
                     res = _locate_hits(index, hits, qids, max_hits=max_hits)
                 results.append(res)
                 found = set(res.query_id.tolist())

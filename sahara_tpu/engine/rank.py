@@ -1,9 +1,9 @@
 """Rank/LF primitives on the combined occ layout (jnp; XLA-fused gathers).
 
 These are the speed-of-light inner ops named in BASELINE.json: a rank-all
-query is one row gather (2*sigma int32, contiguous) + popcount.  A Pallas
-batched variant lives in sahara_tpu.kernels for the hot loop; this module is
-the portable XLA implementation and the correctness reference.
+query is one row gather (2*sigma int32, contiguous) + popcount.  This module
+is the portable XLA implementation and the correctness reference; see
+``sahara_tpu.kernels`` for the Pallas variants.
 """
 
 from __future__ import annotations

@@ -76,11 +76,13 @@ def _positions(flags: jax.Array, tri: jax.Array) -> tuple[jax.Array, jax.Array]:
     rows = n // _BLK
     f = flags.reshape(rows, _BLK).astype(jnp.float32)
     incl = jnp.dot(f, tri, preferred_element_type=jnp.float32)  # inclusive
-    row_tot = incl[:, -1]
+    # block-local values are <= 512 (exact in f32); the cross-block offsets
+    # can exceed 2^24 for large queues, so accumulate those in int32
+    row_tot = incl[:, -1].astype(jnp.int32)
     row_off = jnp.cumsum(row_tot) - row_tot
-    pos = (incl - f + row_off[:, None]).astype(jnp.int32).reshape(-1)
-    total = (row_off[-1] + row_tot[-1]).astype(jnp.int32)
-    return pos, total
+    pos = (incl - f).astype(jnp.int32).reshape(rows, _BLK) + row_off[:, None]
+    total = row_off[-1] + row_tot[-1]
+    return pos.reshape(-1), total
 
 
 def _pack_lane_tape(

@@ -96,11 +96,14 @@ def distributed_workq_search(
     q_mult: int = 16,
     hit_mult: int = 64,
     dedup: bool = True,
+    max_retries: int = 4,
 ) -> tuple[FlatHits, int]:
     """Data-parallel work-queue search: each device runs the v2 engine on
     its query shard against the replicated index; per-shard packed hit
     arrays come back stacked along the data axis, the global hit count is
-    reduced with psum.
+    reduced with psum.  Shard overflows retry with doubled capacities
+    (mirroring the single-chip ``run_workq_search``); a persistent overflow
+    raises instead of silently dropping hits.
 
     Returns (FlatHits with lanes over the ORIGINAL query ids, total)."""
     nq, m = queries.shape
@@ -127,34 +130,48 @@ def distributed_workq_search(
     t_hi = jnp.asarray(tape.hi)
     active = np.arange(nq_pad) < nq_orig
 
-    def shard_fn(index, q_shard, side, qpos, lo, hi, act):
-        packed = workq_search(
-            index, q_shard, side, qpos, lo, hi, act,
-            edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
-            dedup=dedup,
-        )
-        total = jax.lax.psum(packed[4 * hq_cap], DATA_AXIS)
-        return packed.reshape(1, -1), total.reshape(1)
+    def make_fn(q_cap, hq_cap):
+        def shard_fn(index, q_shard, side, qpos, lo, hi, act):
+            packed = workq_search(
+                index, q_shard, side, qpos, lo, hi, act,
+                edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
+                dedup=dedup,
+            )
+            total = jax.lax.psum(packed[4 * hq_cap], DATA_AXIS)
+            return packed.reshape(1, -1), total.reshape(1)
 
-    idx_spec = jax.tree.map(lambda _: P(), index)
-    fn = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(idx_spec, P(DATA_AXIS, None), P(), P(), P(), P(), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
-        check_vma=False,
-    )
+        idx_spec = jax.tree.map(lambda _: P(), index)
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(idx_spec, P(DATA_AXIS, None), P(), P(), P(), P(), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
+            check_vma=False,
+        )
+
     act_sharded = jax.device_put(active, NamedSharding(mesh, P(DATA_AXIS)))
-    packed_all, totals = jax.jit(fn)(index, q_sharded, t_side, t_qpos, t_lo, t_hi, act_sharded)
-    packed_all = np.asarray(packed_all)  # [n_dev, 4*hq_cap+8]
+    for attempt in range(max_retries):
+        fn = make_fn(q_cap, hq_cap)
+        packed_all, totals = jax.jit(fn)(index, q_sharded, t_side, t_qpos, t_lo, t_hi, act_sharded)
+        packed_all = np.asarray(packed_all)  # [n_dev, 4*hq_cap+8]
+        overflow_q = bool(packed_all[:, 4 * hq_cap + 1].any())
+        overflow_h = bool(packed_all[:, 4 * hq_cap + 2].any())
+        if not (overflow_q or overflow_h):
+            break
+        if attempt == max_retries - 1:
+            raise RuntimeError(
+                "distributed workq search overflowed after retries "
+                f"(queue={overflow_q}, hits={overflow_h}); hits would be dropped"
+            )
+        if overflow_q:
+            q_cap *= 2
+        if overflow_h:
+            hq_cap *= 2
 
     lanes, lbs, szs, errs = [], [], [], []
-    overflow_q = overflow_h = False
     for shard in range(n_dev):
         p = packed_all[shard]
         n = int(p[4 * hq_cap])
-        overflow_q |= bool(p[4 * hq_cap + 1])
-        overflow_h |= bool(p[4 * hq_cap + 2])
         lane = p[:n] + shard * nq_local * ns  # shift local lanes to global
         lanes.append(lane)
         lbs.append(p[hq_cap : hq_cap + n])
@@ -168,7 +185,7 @@ def distributed_workq_search(
         sz=np.concatenate(szs)[keep],
         err=np.concatenate(errs)[keep],
         n_hits=int(keep.sum()),
-        queue_overflow=overflow_q,
-        hit_overflow=overflow_h,
+        queue_overflow=False,
+        hit_overflow=False,
     )
     return hits, hits.n_hits
