@@ -5,9 +5,16 @@ Baseline = the north-star target 10M 100bp reads/min at e=2 on v5e-8
 (BASELINE.md), i.e. 166,667 q/s per 8-chip slice — scaled to a single-chip
 share of 20,833 q/s since this harness runs on one chip.
 
+Workload (chr21-class, BASELINE configs[2]): a 40MB reference with
+human-like repeat structure (segmental duplications at 1.5% divergence
+covering ~35% of the text) and reads carrying exactly ``e`` planted errors
+drawn uniformly from {substitution, insertion, deletion} via the
+read-simulator transcript machinery (the reference's own fixture semantics,
+read_simulator.cpp:119-241) — not substitution-only reads.
+
 Measures the full production path (scheme search + locate) in steady state:
-the first pass warms compile caches and the engine's capacity auto-tuning,
-the second pass is timed.
+pass 1 warms compile caches and the engine's capacity auto-tuning, pass 2
+compiles the live-profile-derived segmented capacity plan, pass 3 is timed.
 """
 
 from __future__ import annotations
@@ -21,11 +28,71 @@ import numpy as np
 
 BASELINE_QPS_PER_CHIP = 10_000_000 / 60 / 8
 
-REF_MB = float(os.environ.get("SAHARA_BENCH_REF_MB", 8))
+REF_MB = float(os.environ.get("SAHARA_BENCH_REF_MB", 40))
 N_QUERIES = int(os.environ.get("SAHARA_BENCH_QUERIES", 8192))
 READ_LEN = 100
 ERRORS = 2
 GENERATOR = os.environ.get("SAHARA_BENCH_GENERATOR", "h2-k2")
+CHUNK = int(os.environ.get("SAHARA_BENCH_CHUNK", 8192))
+CACHE = os.environ.get("SAHARA_BENCH_CACHE", "1") == "1"
+PROFILE = os.environ.get("SAHARA_BENCH_PROFILE", "") == "1"
+
+_RANK_TO_CHAR = np.frombuffer(b"\x00ACGTN", dtype=np.uint8)
+
+
+def make_reference(rng: np.random.Generator, n: int, repeat_frac: float = 0.35, divergence: float = 0.015) -> np.ndarray:
+    """Random DNA overlaid with mutated segmental duplications: a cheap
+    stand-in for chr21's repeat structure (random text understates the
+    live-state load of a real genome)."""
+    ref = rng.integers(1, 5, size=n).astype(np.uint8)
+    covered, target = 0, int(n * repeat_frac)
+    while covered < target:
+        seg = int(rng.integers(300, 5001))
+        src = int(rng.integers(0, n - seg))
+        dst = int(rng.integers(0, n - seg))
+        chunk = ref[src : src + seg].copy()
+        nmut = int(rng.binomial(seg, divergence))
+        if nmut:
+            at = rng.choice(seg, size=nmut, replace=False)
+            chunk[at] = 1 + (chunk[at] - 1 + rng.integers(1, 4, size=nmut)) % 4
+        ref[dst : dst + seg] = chunk
+        covered += seg
+    return ref
+
+
+def make_queries(ref: np.ndarray, n_queries: int, seed: int) -> list[np.ndarray]:
+    """Reads with exactly ERRORS planted errors, uniformly S/I/D, via the
+    read-simulator transcripts (read length stays READ_LEN)."""
+    from sahara_tpu.alphabet import dna5_char_to_rank
+    from sahara_tpu.sim.read_simulator import simulate_reads
+
+    ref_bytes = _RANK_TO_CHAR[ref].tobytes()
+    records = simulate_reads(
+        [ref_bytes],
+        num_reads=n_queries,
+        read_length=READ_LEN,
+        random_errors=ERRORS,
+        seed=seed,
+    )
+    return [dna5_char_to_rank(r.seq).astype(np.uint8) for r in records]
+
+
+def load_workload():
+    cache_path = os.path.join(
+        os.path.expanduser("~"), ".cache", "sahara_tpu",
+        f"bench_ref{REF_MB}_q{N_QUERIES}_v2.npz",
+    )
+    if CACHE and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        return z["ref"], list(z["queries"])
+    rng = np.random.default_rng(1234)
+    n_ref = int(REF_MB * 1_000_000)
+    ref = make_reference(rng, n_ref)
+    queries = make_queries(ref, N_QUERIES, seed=99)
+    if CACHE:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.savez_compressed(cache_path, ref=ref, queries=np.stack(queries))
+    return ref, queries
 
 
 def main() -> None:
@@ -33,37 +100,35 @@ def main() -> None:
     from sahara_tpu.engine.driver import search_queries
     from sahara_tpu.index.build import build_bifmindex
 
-    rng = np.random.default_rng(1234)
-    n_ref = int(REF_MB * 1_000_000)
-    ref = rng.integers(1, 5, size=n_ref).astype(np.uint8)
+    t0 = time.monotonic()
+    ref, queries = load_workload()
+    t_gen = time.monotonic() - t0
 
     t0 = time.monotonic()
     host = build_bifmindex([ref], 6, "d_dna5", rate=16)
     index = DeviceIndex.from_host(host)
     t_build = time.monotonic() - t0
 
-    # queries: reads sampled from the reference with <= ERRORS substitutions
-    queries = []
-    starts = rng.integers(0, n_ref - READ_LEN, size=N_QUERIES)
-    n_subs = rng.integers(0, ERRORS + 1, size=N_QUERIES)
-    for p, ns_ in zip(starts, n_subs):
-        read = ref[p : p + READ_LEN].copy()
-        for j in rng.choice(READ_LEN, size=ns_, replace=False):
-            read[j] = 1 + (read[j] - 1 + rng.integers(1, 4)) % 4
-        queries.append(read)
-
-    kw = dict(k=ERRORS, generator_name=GENERATOR, edit=True, chunk=2048)
+    kw = dict(k=ERRORS, generator_name=GENERATOR, edit=True, chunk=CHUNK)
 
     t0 = time.monotonic()
     r = search_queries(index, queries, **kw)  # compile + cap tuning
     t_warm = time.monotonic() - t0
     t0 = time.monotonic()
-    r = search_queries(index, queries, **kw)  # may recompile right-sized caps
+    r = search_queries(index, queries, **kw)  # compiles the profiled plan
     t_tune = time.monotonic() - t0
 
+    if PROFILE:
+        import jax
+
+        jax.profiler.start_trace(os.path.expanduser("~/.cache/sahara_tpu/trace"))
     t0 = time.monotonic()
     r = search_queries(index, queries, **kw)
     dt = time.monotonic() - t0
+    if PROFILE:
+        import jax
+
+        jax.profiler.stop_trace()
     qps = N_QUERIES / dt
 
     result = {
@@ -74,8 +139,8 @@ def main() -> None:
     }
     print(json.dumps(result))
     print(
-        f"# ref={REF_MB}MB build={t_build:.1f}s warm={t_warm:.1f}s tune={t_tune:.1f}s "
-        f"steady={dt:.2f}s hits={len(r.query_id)}",
+        f"# ref={REF_MB}MB gen={t_gen:.1f}s build={t_build:.1f}s warm={t_warm:.1f}s "
+        f"tune={t_tune:.1f}s steady={dt:.2f}s hits={len(r.query_id)}",
         file=sys.stderr,
     )
 

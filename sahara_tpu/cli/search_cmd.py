@@ -24,11 +24,29 @@ def cmd_search(args):
     alphabet = by_sigma(sigma)  # search.cpp:284-287 dispatch
     timing = Timings()
 
+    # multi-host bring-up (TPU-native extension; the reference is
+    # single-process).  Each host searches a contiguous slice of the
+    # global query list and emits GLOBAL queryIds.
+    multihost = getattr(args, "mh_num_processes", 0) and args.mh_num_processes > 1
+    if multihost:
+        from sahara_tpu.parallel.multihost import initialize
+
+        initialize(args.mh_coordinator, args.mh_num_processes, args.mh_process_id)
+
     queries = load_queries_ranked(args.query, alphabet, add_revcomp=not args.no_reverse)
     if args.limit_queries:
         queries = queries[: args.limit_queries]
     if not queries:
         raise SaharaError(f"query file {args.query} was empty - abort")
+    query_ids = None
+    output_path = args.output
+    if multihost:
+        from sahara_tpu.parallel.multihost import host_output_path, host_query_slice
+
+        start, end = host_query_slice(len(queries))
+        queries = queries[start:end]
+        query_ids = np.arange(start, end, dtype=np.int64)
+        output_path = host_output_path(args.output)
     timing.mark("ld queries")
 
     print("config:")
@@ -61,12 +79,17 @@ def cmd_search(args):
         mode=args.search_mode,
         max_hits=args.max_hits,
         dynamic=args.dynamic_generator,
+        query_ids=query_ids,
         verbose_cb=print,
     )
     timing.mark("search")
     timing.mark("locate")
 
-    n = write_hits(args.output, result.rows())
+    n = write_hits(output_path, result.rows())
+    if multihost:
+        from sahara_tpu.parallel.multihost import merge_on_rank_zero
+
+        merge_on_rank_zero(args.output)
     timing.mark("result")
     timing.print_stats(n_queries=len(queries), n_hits=n)
 
@@ -208,6 +231,11 @@ def _add_search_flags(p, *, metric: bool, reverse: bool, limit: bool):
     p.add_argument("--max_hits", type=int, default=0, help="maximum number of hits per query")
     if limit:
         p.add_argument("--limit_queries", type=int, default=0, help="only run the given number of queries")
+    # multi-host extension flags (no reference counterpart): bring up
+    # jax.distributed and shard the query list by process rank
+    p.add_argument("--mh_coordinator", default=None, help="jax.distributed coordinator address (host:port)")
+    p.add_argument("--mh_num_processes", type=int, default=0, help="number of distributed processes")
+    p.add_argument("--mh_process_id", type=int, default=0, help="this process's rank")
 
 
 def register(subparsers):

@@ -43,6 +43,26 @@ def _next_pow2(x: int) -> int:
     return n
 
 
+def _cap_hits_per_query(result: SearchResult, max_hits: int) -> SearchResult:
+    """Keep at most ``max_hits`` rows per queryId, preserving row order
+    (``search_n`` truncation semantics, search.cpp:228).  Vectorized: rows
+    need not be grouped by query."""
+    if max_hits <= 0 or len(result.query_id) == 0:
+        return result
+    q = result.query_id
+    order = np.argsort(q, kind="stable")
+    qs = q[order]
+    # rank of each row within its query group (0-based, stable order)
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    run_len = np.diff(np.r_[starts, len(qs)])
+    rank = np.arange(len(qs)) - np.repeat(starts, run_len)
+    keep = np.zeros(len(q), dtype=bool)
+    keep[order] = rank < max_hits
+    return SearchResult(
+        result.query_id[keep], result.seq_id[keep], result.pos[keep], result.errors[keep]
+    )
+
+
 def load_scheme(
     generator_name: str,
     min_k: int,
@@ -112,18 +132,7 @@ def _locate_hits(
         pos=pos.astype(np.int64),
         errors=out_err.astype(np.int64),
     )
-    if max_hits > 0:
-        keep = np.zeros(len(result.query_id), dtype=bool)
-        seen: dict[int, int] = {}
-        for i, q in enumerate(result.query_id):
-            c = seen.get(int(q), 0)
-            if c < max_hits:
-                keep[i] = True
-                seen[int(q)] = c + 1
-        result = SearchResult(
-            result.query_id[keep], result.seq_id[keep], result.pos[keep], result.errors[keep]
-        )
-    return result
+    return _cap_hits_per_query(result, max_hits)
 
 
 def _locate_flat_hits(
@@ -155,18 +164,7 @@ def _locate_flat_hits(
         pos=pos.astype(np.int64),
         errors=err[src].astype(np.int64),
     )
-    if max_hits > 0:
-        keep = np.zeros(len(result.query_id), dtype=bool)
-        seen: dict[int, int] = {}
-        for i, q in enumerate(result.query_id):
-            c = seen.get(int(q), 0)
-            if c < max_hits:
-                keep[i] = True
-                seen[int(q)] = c + 1
-        result = SearchResult(
-            result.query_id[keep], result.seq_id[keep], result.pos[keep], result.errors[keep]
-        )
-    return result
+    return _cap_hits_per_query(result, max_hits)
 
 
 def _run_workq_grouped(
@@ -223,18 +221,7 @@ def _run_workq_grouped(
                 _locate_flat_hits(index, hits, gt.num_searches, ids, max_hits=0)
             )
     merged = _merge_results(results)
-    if max_hits > 0:
-        keep = np.zeros(len(merged.query_id), dtype=bool)
-        seen: dict[int, int] = {}
-        for i, qv in enumerate(merged.query_id):
-            c = seen.get(int(qv), 0)
-            if c < max_hits:
-                keep[i] = True
-                seen[int(qv)] = c + 1
-        merged = SearchResult(
-            merged.query_id[keep], merged.seq_id[keep], merged.pos[keep], merged.errors[keep]
-        )
-    return merged
+    return _cap_hits_per_query(merged, max_hits)
 
 
 def _merge_results(results: list[SearchResult]) -> SearchResult:
@@ -267,10 +254,15 @@ def search_queries(
     h_cap: int = 32,
     chunk: int = 1024,
     engine: str = "workq",
+    query_ids: np.ndarray | None = None,
     verbose_cb=None,
 ) -> SearchResult:
     """Approximate search of rank-array queries against a bidirectional
-    device index.  Returns located hits over all queries."""
+    device index.  Returns located hits over all queries.
+
+    ``query_ids`` optionally maps local query indices to global ids (used
+    by the multi-host runner, where each host owns a contiguous slice of
+    the global query list and must emit global ids)."""
     sigma = index.sigma
     results: list[SearchResult] = []
 
@@ -284,6 +276,8 @@ def search_queries(
             continue
         qarr = np.stack([np.asarray(queries[i], dtype=np.int32) for i in idxs])
         qids = np.asarray(idxs, dtype=np.int64)
+        if query_ids is not None:
+            qids = np.asarray(query_ids, dtype=np.int64)[qids]
 
         if mode == "all":
             ess = load_scheme(
@@ -340,10 +334,7 @@ def search_queries(
                         )
                     res = _locate_hits(index, hits, qids, max_hits=max_hits)
                 results.append(res)
-                found = set(res.query_id.tolist())
-                for li, qi in enumerate(qids):
-                    if int(qi) in found:
-                        active[li] = False
+                active &= ~np.isin(qids, res.query_id)
         else:
             raise ValueError(f"unknown search mode {mode!r}")
 

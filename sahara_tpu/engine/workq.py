@@ -8,22 +8,34 @@ cost tracks the *actual* number of search-tree nodes.  TPU-specific design
 (informed by microbenchmarks on v5e):
 
 - gathers pay a large fixed cost per op -> everything a step needs is
-  packed so the step issues only four gather ops: one fused occ-row gather
-  (both interval edges in a single take), one per-lane tape word
-  (side|lo|hi|query-char precomputed per lane), one state-matrix row
-  gather, one rank-product row gather;
+  packed so a main step issues three gather ops (per-lane tape word, fused
+  two-edge occ-row gather, one combined state+rank-product row gather) plus
+  one compaction scatter (and one scatter+gather pair when dedup is on);
 - no integer div/mod in the hot loop (TPU has no hardware divide): the
   candidate matrix is [Q, 16] so parent/branch are shift/mask, and
   search/query ids live in meta bit fields;
 - stream compaction uses matmul prefix sums (a [*, 512] block against a
   constant triangular matrix on the MXU) instead of lane-axis cumsums;
 - states can only finish in the last k+1 steps (d advances by at most one
-  per step), so the hit-drain compaction runs only in a short tail scan.
+  per step), so the hit-drain compaction runs only in a short tail scan;
+- per-step cost is O(queue capacity), and the live-state count varies by
+  orders of magnitude over the tape, so the main scan is split into
+  *segments with individual capacities* (a static ``plan``), auto-tuned
+  from the measured per-step live profile of earlier runs;
+- after the exact prefix (phase 0) most (query, search) lanes are already
+  dead (their exact piece mismatched), so seeds are compacted into the
+  first segment's capacity before the queue phase starts.
 
 State = rows of an int32[Q, 4] matrix: (lb, lbr, sz, meta) with meta =
-op(4) | err(4) | d(10) | s_id(3) | q_id(11).  Transition semantics are
+op+edges(4) | err(3) | d(9) | s_id(3) | q_id(13).  Transition semantics are
 identical to v1 (match/sub/del/ins, minimal-span edge flags, I-D adjacency
-suppression) — property-tested for bit-identical hit multisets.
+suppression) — property-tested for bit-identical hit multisets with
+``dedup=False``.  With ``dedup=True`` the engine additionally merges
+*dominated* states each step (same cursor/depth/search/query where the
+survivor can reproduce every future transition of the victim — equal-err
+duplicate orderings, subsumed edge flags, and lower-err states once the
+remaining lower bounds permit), which shrinks the queue and the duplicate
+hit multiplicity without changing the hit position sets.
 """
 
 from __future__ import annotations
@@ -42,16 +54,19 @@ from sahara_tpu.engine.tape import SchemeTape
 
 OP_MATCH, OP_INS, OP_DEL = 0, 1, 2
 _EDGE_L, _EDGE_R = 4, 8
+_EDGES = _EDGE_L | _EDGE_R
 _OPF_MASK = 0xF  # op + edge flags
-_ERR_SHIFT, _D_SHIFT, _S_SHIFT, _Q_SHIFT = 4, 8, 18, 21
-_ERR_MASK, _D_MASK, _S_MASK, _Q_MASK = 0xF, 0x3FF, 0x7, 0x7FF
+_ERR_SHIFT, _D_SHIFT, _S_SHIFT, _Q_SHIFT = 4, 7, 16, 19
+_ERR_MASK, _D_MASK, _S_MASK, _Q_MASK = 0x7, 0x1FF, 0x7, 0x1FFF
+_META_KEY_MASK = ~0x7F  # d | s_id | q_id (cursor identity minus op/err)
 
-MAX_NQ = _Q_MASK + 1  # 2048 queries per chunk
+MAX_NQ = _Q_MASK + 1  # 8192 queries per chunk
 MAX_NS = _S_MASK + 1  # 8 searches per tape
-MAX_M = _D_MASK  # 1023
-MAX_ERR = _ERR_MASK
+MAX_M = _D_MASK  # 511
+MAX_ERR = _ERR_MASK  # 7
 
 _BLK = 512
+_I32_MAX = np.iinfo(np.int32).max
 
 
 @dataclasses.dataclass
@@ -66,6 +81,7 @@ class FlatHits:
     queue_overflow: bool
     hit_overflow: bool
     max_live: int = 0
+    live_profile: np.ndarray | None = None  # int32[1 + steps]: seeds + per-step live
 
 
 def _positions(flags: jax.Array, tri: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -86,13 +102,22 @@ def _positions(flags: jax.Array, tri: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def _pack_lane_tape(
-    queries: jax.Array, t_side: jax.Array, t_qpos: jax.Array, t_lo: jax.Array, t_hi: jax.Array, ns: int
+    queries: jax.Array,
+    t_side: jax.Array,
+    t_qpos: jax.Array,
+    t_lo: jax.Array,
+    t_hi: jax.Array,
+    ns: int,
 ) -> jax.Array:
-    """Per-lane tape words [b, m]: side | lo<<1 | hi<<5 | qc<<9.
+    """Per-lane tape words [b * m]: side | lo<<1 | hi<<5 | qc<<9 | maxlo<<17.
 
     Folding the query character into the tape removes two gathers from the
-    hot loop (tape and query lookups become one)."""
+    hot loop (tape and query lookups become one); ``maxlo`` = max of the
+    remaining lower bounds from this step on, which gates the err-dominance
+    merge (a lower-err state can only absorb a higher-err one when no
+    future lower bound exceeds its error count)."""
     nq, m = queries.shape
+    t_maxlo = jnp.flip(lax.cummax(jnp.flip(t_lo, axis=1), axis=1), axis=1)
     qc = queries[:, None, :]  # [nq, 1, m] — will index by qpos
     qpos = t_qpos[None, :, :]  # [1, ns, m]
     qc_at = jnp.take_along_axis(jnp.broadcast_to(qc, (nq, ns, m)), jnp.broadcast_to(qpos, (nq, ns, m)), axis=2)
@@ -101,13 +126,23 @@ def _pack_lane_tape(
         | (t_lo[None, :, :] << 1)
         | (t_hi[None, :, :] << 5)
         | (qc_at << 9)
+        | (t_maxlo[None, :, :] << 17)
     )
-    return word.reshape(nq * ns, m)
+    return word.reshape(nq * ns * m)
+
+
+def main_tail_steps(m: int, ph0: int, k: int, edit: bool) -> tuple[int, int]:
+    """(main_steps, tail_steps): no state can reach d == m during the first
+    ``main_steps`` queue steps (d grows by at most one per step), so the
+    hit drain runs only in the tail."""
+    main_steps = max(m - ph0 - 1, 0)
+    tail_steps = (m - ph0) + 1 + (k if edit else 0) - main_steps
+    return main_steps, tail_steps
 
 
 @partial(
     jax.jit,
-    static_argnames=("edit", "q_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup"),
+    static_argnames=("edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup"),
 )
 def workq_search(
     index: DeviceIndex,
@@ -119,7 +154,8 @@ def workq_search(
     active: jax.Array,  # bool[nq]
     *,
     edit: bool,
-    q_cap: int,
+    plan: tuple[tuple[int, int], ...],  # ((steps, q_cap), ...) covering main_steps
+    tail_cap: int,
     hq_cap: int,
     m: int,
     ns: int,
@@ -127,21 +163,28 @@ def workq_search(
     ph0: int,
     dedup: bool = False,
 ):
-    """Returns one packed int32 array [4*hq_cap + 8]:
-    h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow, pad)."""
+    """Returns one packed int32 array [4*hq_cap + 8 + 1 + total_steps]:
+    h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow,
+    max_live, pad*4) | live profile (seed count + per-step live totals)."""
     nq = queries.shape[0]
     sigma = index.sigma
     b = nq * ns
     if nq > MAX_NQ or ns > MAX_NS or m > MAX_M or k > MAX_ERR or sigma > 8:
-        raise ValueError("workq meta packing limits exceeded (nq<=2048, ns<=8, m<=1023, k<=15, sigma<=8)")
+        raise ValueError("workq meta packing limits exceeded (nq<=8192, ns<=8, m<=511, k<=7, sigma<=8)")
     if index.rev_rows == 0:
         raise ValueError("scheme search requires a bidirectional index")
-    assert q_cap % _BLK == 0 and hq_cap % _BLK == 0
+    main_steps, tail_steps = main_tail_steps(m, ph0, k, edit)
+    if sum(s for s, _ in plan) != main_steps:
+        raise ValueError(f"plan steps {plan} do not sum to main_steps={main_steps}")
+    for _, c in plan:
+        assert c % _BLK == 0 and (c & (c - 1)) == 0, "segment caps must be pow2 multiples of 512"
+    assert tail_cap % _BLK == 0 and (tail_cap & (tail_cap - 1)) == 0
+    assert hq_cap % _BLK == 0
 
     occ, c_arr, rev_rows = index.occ, index.c_arr, index.rev_rows
     tri = jnp.triu(jnp.ones((_BLK, _BLK), dtype=jnp.float32))
 
-    lane_tape = _pack_lane_tape(queries, t_side, t_qpos, t_lo, t_hi, ns).reshape(-1)
+    lane_tape = _pack_lane_tape(queries, t_side, t_qpos, t_lo, t_hi, ns)
 
     lanes = jnp.arange(b, dtype=jnp.int32)
     s_id0 = lanes % ns  # outside the scan: fine
@@ -189,213 +232,252 @@ def workq_search(
     sz0 = jnp.where(lane_active, jnp.int32(index.n), 0)
     (lb0, lbr0, sz0), _ = lax.scan(ph0_step, (lb0, lbr0, sz0), jnp.arange(ph0, dtype=jnp.int32))
 
-    # ---------------- pack into the state matrix -------------------------
+    # -------- compact surviving seeds into the first segment capacity ----
+    cap0 = plan[0][1] if plan else tail_cap
+    b_pad = -(-b // _BLK) * _BLK
+    seed_alive = jnp.zeros(b_pad, dtype=bool).at[:b].set(sz0 > 0)
+    spos, seed_total = _positions(seed_alive, tri)
+    sdest = jnp.where(seed_alive, spos, cap0)
+    sel0 = jnp.zeros(cap0, dtype=jnp.int32).at[sdest].set(jnp.arange(b_pad, dtype=jnp.int32), mode="drop")
+    live0 = jnp.arange(cap0, dtype=jnp.int32) < jnp.minimum(seed_total, cap0)
     meta0 = (jnp.int32(ph0) << _D_SHIFT) | (s_id0 << _S_SHIFT) | (q_id0 << _Q_SHIFT)
-    state0 = jnp.zeros((q_cap, 4), dtype=jnp.int32)
-    state0 = state0.at[:b, 0].set(lb0)
-    state0 = state0.at[:b, 1].set(lbr0)
-    state0 = state0.at[:b, 2].set(sz0)
-    state0 = state0.at[:b, 3].set(jnp.where(sz0 > 0, meta0, 0))
+    seed_mat = jnp.stack([lb0, lbr0, sz0, meta0], axis=1)  # [b, 4]
+    state = jnp.where(live0[:, None], jnp.take(seed_mat, jnp.minimum(sel0, b - 1), axis=0), 0)
+    q_ovf = seed_total > cap0
 
-    def expand_step(state, drain, hits, n_hits, q_ovf, h_ovf, max_live):
-        """One generic step: candidates -> compaction -> new state matrix."""
-        q_lb, q_lbr, q_sz, meta = state[:, 0], state[:, 1], state[:, 2], state[:, 3]
-        opf = meta & _OPF_MASK
-        err = (meta >> _ERR_SHIFT) & _ERR_MASK
-        d = (meta >> _D_SHIFT) & _D_MASK
-        s_id = (meta >> _S_SHIFT) & _S_MASK
-        q_id = (meta >> _Q_SHIFT) & _Q_MASK
-        alive = q_sz > 0
+    def make_step(cap, drain):
+        def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live):
+            """One generic step: dedup -> drain -> candidates -> compaction."""
+            q_lb, q_lbr, q_sz, meta = state[:, 0], state[:, 1], state[:, 2], state[:, 3]
+            opf = meta & _OPF_MASK
+            err = (meta >> _ERR_SHIFT) & _ERR_MASK
+            d = (meta >> _D_SHIFT) & _D_MASK
+            s_id = (meta >> _S_SHIFT) & _S_MASK
+            q_id = (meta >> _Q_SHIFT) & _Q_MASK
+            alive = q_sz > 0
+            lane = q_id * ns + s_id
+            row_ids = jnp.arange(cap, dtype=jnp.int32)
 
-        if drain:
-            done = alive & (d >= m)
-            finished = done & ((opf & (_EDGE_L | _EDGE_R)) == 0)
-            fpos, ftot = _positions(finished, tri)
-            # dead/overflow slots get an out-of-bounds destination: with
-            # mode="drop" they never reach memory (a shared in-bounds dump
-            # slot would serialize millions of colliding writes on TPU)
-            fdest = jnp.where(finished, n_hits + fpos, hq_cap)
-            idxs = jnp.arange(q_cap, dtype=jnp.int32)
-            sel_h = (
-                jnp.full(hq_cap, q_cap, dtype=jnp.int32)
-                .at[fdest]
-                .set(idxs, mode="drop")
-            )
-            got = sel_h < q_cap
-            sel_hc = jnp.minimum(sel_h, q_cap - 1)
-            slot_new = jnp.arange(hq_cap, dtype=jnp.int32) >= n_hits
-            upd = slot_new & got
-            lane_all = q_id * ns + s_id
-            h_lane, h_lb, h_sz, h_err = hits
-            h_lane = jnp.where(upd, jnp.take(lane_all, sel_hc), h_lane)
-            h_lb = jnp.where(upd, jnp.take(q_lb, sel_hc), h_lb)
-            h_sz = jnp.where(upd, jnp.take(q_sz, sel_hc), h_sz)
-            h_err = jnp.where(upd, jnp.take(err, sel_hc), h_err)
-            hits = (h_lane, h_lb, h_sz, h_err)
-            h_ovf = h_ovf | (n_hits + ftot > hq_cap)
-            n_hits = jnp.minimum(n_hits + ftot, hq_cap)
-            alive = alive & ~done
+            # ---- one tape-word gather ----------------------------------
+            dc = jnp.minimum(d, m - 1)
+            word = lax.optimization_barrier(jnp.take(lane_tape, lane * m + dc))
+            side = word & 1
+            lo_b = (word >> 1) & 0xF
+            hi_b = (word >> 5) & 0xF
+            qc = (word >> 9) & 0xFF
+            maxlo = (word >> 17) & 0xF
 
-        # ---- one tape-word gather + one fused occ gather ----------------
-        dc = jnp.minimum(d, m - 1)
-        lane = q_id * ns + s_id
-        word = lax.optimization_barrier(jnp.take(lane_tape, lane * m + dc))
-        side = word & 1
-        lo_b = (word >> 1) & 0xF
-        hi_b = (word >> 5) & 0xF
-        qc = (word >> 9) & 0xFF
+            if dedup:
+                # Merge states the winner *dominates*: identical cursor
+                # (lb, lbr, sz) at the same (d, s_id, q_id), where the
+                # winner's err/edge-flags/last-op let it reproduce every
+                # future transition of the victim.  One scatter-min elects
+                # the best candidate per hash slot (lowest err, cleanest
+                # op flags); domination is then verified field-by-field so
+                # hash collisions and non-dominating winners are left
+                # untouched (safe).  Hit position sets are unchanged;
+                # duplicate multiplicity and queue occupancy shrink.
+                cb = cap.bit_length() - 1
+                hsh = (
+                    q_lb * jnp.int32(0x9E3779B1 - (1 << 32))
+                    ^ q_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
+                    ^ q_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
+                    ^ (meta & _META_KEY_MASK) * jnp.int32(0x27D4EB2F)
+                ) & (cap - 1)
+                bad = ((opf & 3) != 0).astype(jnp.int32) + ((opf >> 2) & 1) + ((opf >> 3) & 1)
+                packed_pri = (err << (cb + 2)) | (jnp.minimum(bad, 3) << cb) | row_ids
+                packed_pri = jnp.where(alive, packed_pri, _I32_MAX)
+                table = jnp.full(cap, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
+                win = jnp.take(table, hsh) & (cap - 1)
+                wrow = jnp.take(state, win, axis=0)
+                w_meta = wrow[:, 3]
+                w_opf = w_meta & _OPF_MASK
+                w_err = (w_meta >> _ERR_SHIFT) & _ERR_MASK
+                same = (
+                    (wrow[:, 0] == q_lb)
+                    & (wrow[:, 1] == q_lbr)
+                    & (wrow[:, 2] == q_sz)
+                    & (((w_meta ^ meta) & _META_KEY_MASK) == 0)
+                )
+                err_dom = (w_err == err) | ((w_err < err) & (maxlo <= w_err))
+                edge_dom = (w_opf & _EDGES & ~opf) == 0  # winner edges subset
+                op_dom = ((w_opf & 3) == 0) | ((w_opf & 3) == (opf & 3))
+                # (for Hamming tapes opf is always 0, so edge/op dominance
+                # holds trivially and this reduces to the err-aware merge)
+                kill = alive & same & (win != row_ids) & err_dom & edge_dom & op_dom
+                q_sz = jnp.where(kill, 0, q_sz)
+                alive = alive & ~kill
 
-        primary = jnp.where(side == 1, q_lbr, q_lb)
-        secondary = jnp.where(side == 1, q_lb, q_lbr)
-        r_lo, r_hi = fused_rank(primary, q_sz, side * rev_rows)
-        cnt = r_hi - r_lo
-        prefix = jnp.cumsum(cnt, axis=-1) - cnt
-        newp = c_arr[None, :sigma] + r_lo
-        news = secondary[:, None] + prefix
-        # rank products packed for one row-gather later: [Q*sigma, 3]
-        prod = lax.optimization_barrier(jnp.stack([cnt, newp, news], axis=-1).reshape(-1, 3))
+            if drain:
+                done = alive & (d >= m)
+                finished = done & ((opf & _EDGES) == 0)
+                fpos, ftot = _positions(finished, tri)
+                # dead/overflow slots get an out-of-bounds destination: with
+                # mode="drop" they never reach memory (a shared in-bounds dump
+                # slot would serialize millions of colliding writes on TPU)
+                fdest = jnp.where(finished, n_hits + fpos, hq_cap)
+                sel_h = (
+                    jnp.full(hq_cap, cap, dtype=jnp.int32)
+                    .at[fdest]
+                    .set(row_ids, mode="drop")
+                )
+                got = sel_h < cap
+                sel_hc = jnp.minimum(sel_h, cap - 1)
+                slot_new = jnp.arange(hq_cap, dtype=jnp.int32) >= n_hits
+                upd = slot_new & got
+                hit_src = jnp.stack([lane, q_lb, q_sz, err], axis=1)  # [cap, 4]
+                hrows = jnp.take(hit_src, sel_hc, axis=0)  # ONE gather
+                hits = jnp.where(upd[:, None], hrows, hits)
+                h_ovf = h_ovf | (n_hits + ftot > hq_cap)
+                n_hits = jnp.minimum(n_hits + ftot, hq_cap)
+                alive = alive & ~done
 
-        # ---- candidate flags [Q, e_pad] ---------------------------------
-        syms = jnp.arange(1, sigma, dtype=jnp.int32)[None, :]
-        e_ms = err[:, None] + (qc[:, None] != syms)
-        ok_ms = (
-            alive[:, None]
-            & (cnt[:, 1:] > 0)
-            & (e_ms <= hi_b[:, None])
-            & (e_ms >= lo_b[:, None])
-        )
-        cols = [ok_ms]
-        if edit:
-            last = opf & 0x3
-            ok_del = (
+            # ---- one fused occ gather ----------------------------------
+            primary = jnp.where(side == 1, q_lbr, q_lb)
+            secondary = jnp.where(side == 1, q_lb, q_lbr)
+            r_lo, r_hi = fused_rank(primary, q_sz, side * rev_rows)
+            cnt = r_hi - r_lo
+            prefix = jnp.cumsum(cnt, axis=-1) - cnt
+            newp = c_arr[None, :sigma] + r_lo
+            news = secondary[:, None] + prefix
+            # rank products + per-state (side, qc), packed with the state
+            # matrix for ONE combined row-gather by the survivors
+            extra = jnp.broadcast_to((side | (qc << 1))[:, None], (cap, sigma))
+            prod4 = jnp.stack([cnt, newp, news, extra], axis=-1).reshape(-1, 4)
+            tbl = lax.optimization_barrier(jnp.concatenate([state, prod4], axis=0))
+
+            # ---- candidate flags [cap, e_pad] ---------------------------
+            syms = jnp.arange(1, sigma, dtype=jnp.int32)[None, :]
+            e_ms = err[:, None] + (qc[:, None] != syms)
+            ok_ms = (
                 alive[:, None]
                 & (cnt[:, 1:] > 0)
-                & ((err + 1)[:, None] <= hi_b[:, None])
-                & (d[:, None] > 0)
-                & (last[:, None] != OP_INS)
+                & (e_ms <= hi_b[:, None])
+                & (e_ms >= lo_b[:, None])
             )
-            ok_ins = (
-                alive & (err + 1 <= hi_b) & (err + 1 >= lo_b) & (last != OP_DEL)
-            )[:, None]
-            cols += [ok_del, ok_ins]
-        flags = jnp.concatenate(cols, axis=1)
-        pad = e_pad - flags.shape[1]
-        if pad:
-            flags = jnp.concatenate([flags, jnp.zeros((q_cap, pad), dtype=bool)], axis=1)
+            cols = [ok_ms]
+            if edit:
+                last = opf & 0x3
+                ok_del = (
+                    alive[:, None]
+                    & (cnt[:, 1:] > 0)
+                    & ((err + 1)[:, None] <= hi_b[:, None])
+                    & (d[:, None] > 0)
+                    & (last[:, None] != OP_INS)
+                )
+                ok_ins = (
+                    alive & (err + 1 <= hi_b) & (err + 1 >= lo_b) & (last != OP_DEL)
+                )[:, None]
+                cols += [ok_del, ok_ins]
+            flags = jnp.concatenate(cols, axis=1)
+            pad = e_pad - flags.shape[1]
+            if pad:
+                flags = jnp.concatenate([flags, jnp.zeros((cap, pad), dtype=bool)], axis=1)
 
-        fl = flags.reshape(-1)
-        pos, total = _positions(fl, tri)
-        q_ovf = q_ovf | (total > q_cap)
-        max_live = jnp.maximum(max_live, total)
-        cand_ids = jnp.arange(q_cap * e_pad, dtype=jnp.int32)
-        dest = jnp.where(fl, pos, q_cap)  # dead -> out of bounds -> dropped
-        sel = jnp.zeros(q_cap, dtype=jnp.int32).at[dest].set(cand_ids, mode="drop")
-        sel = lax.optimization_barrier(sel)
-        live = jnp.arange(q_cap, dtype=jnp.int32) < jnp.minimum(total, q_cap)
+            fl = flags.reshape(-1)
+            pos, total = _positions(fl, tri)
+            q_ovf = q_ovf | (total > cap)
+            max_live = jnp.maximum(max_live, total)
+            cand_ids = jnp.arange(cap * e_pad, dtype=jnp.int32)
+            dest = jnp.where(fl, pos, cap)  # dead -> out of bounds -> dropped
+            sel = jnp.zeros(cap, dtype=jnp.int32).at[dest].set(cand_ids, mode="drop")
+            sel = lax.optimization_barrier(sel)
+            live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
 
-        parent = sel >> 4 if e_pad == 16 else sel >> 3
-        branch = sel & (e_pad - 1)
+            parent = sel >> 4 if e_pad == 16 else sel >> 3
+            branch = sel & (e_pad - 1)
 
-        # ---- survivor fields: 2 row gathers -----------------------------
-        p_state = jnp.take(state, parent, axis=0)  # [Q, 4]
-        p_lb, p_lbr, p_sz, p_meta = p_state[:, 0], p_state[:, 1], p_state[:, 2], p_state[:, 3]
-        p_opf = p_meta & _OPF_MASK
-        p_err = (p_meta >> _ERR_SHIFT) & _ERR_MASK
-        p_d = (p_meta >> _D_SHIFT) & _D_MASK
-        p_rest = p_meta & ~jnp.int32(_OPF_MASK | (_ERR_MASK << _ERR_SHIFT) | (_D_MASK << _D_SHIFT))
-        p_side = jnp.take(side, parent)
-        p_qc = jnp.take(qc, parent)
+            is_del = (branch >= n_ms) & (branch < 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
+            is_ins = (branch >= 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
+            sym = jnp.where(branch < n_ms, branch + 1, branch - n_ms + 1)
+            sym = jnp.clip(sym, 1, sigma - 1)
 
-        is_del = (branch >= n_ms) & (branch < 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
-        is_ins = (branch >= 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
-        sym = jnp.where(branch < n_ms, branch + 1, branch - n_ms + 1)
-        sym = jnp.clip(sym, 1, sigma - 1)
+            # ---- survivor fields: ONE combined row gather ---------------
+            gidx = jnp.concatenate([parent, cap + parent * sigma + sym])
+            grows = jnp.take(tbl, gidx, axis=0)  # [2*cap, 4]
+            p_rows, g_rows = grows[:cap], grows[cap:]
+            p_lb, p_lbr, p_sz, p_meta = p_rows[:, 0], p_rows[:, 1], p_rows[:, 2], p_rows[:, 3]
+            g_cnt, g_newp, g_news, g_extra = g_rows[:, 0], g_rows[:, 1], g_rows[:, 2], g_rows[:, 3]
+            p_opf = p_meta & _OPF_MASK
+            p_err = (p_meta >> _ERR_SHIFT) & _ERR_MASK
+            p_d = (p_meta >> _D_SHIFT) & _D_MASK
+            p_rest = p_meta & ~jnp.int32(_OPF_MASK | (_ERR_MASK << _ERR_SHIFT) | (_D_MASK << _D_SHIFT))
+            p_side = g_extra & 1
+            p_qc = g_extra >> 1
 
-        g = jnp.take(prod, parent * sigma + sym, axis=0)  # [Q, 3]
-        g_cnt, g_newp, g_news = g[:, 0], g[:, 1], g[:, 2]
-        ext_lb = jnp.where(p_side == 1, g_news, g_newp)
-        ext_lbr = jnp.where(p_side == 1, g_newp, g_news)
+            ext_lb = jnp.where(p_side == 1, g_news, g_newp)
+            ext_lbr = jnp.where(p_side == 1, g_newp, g_news)
 
-        if edit:
-            new_lb = jnp.where(is_ins, p_lb, ext_lb)
-            new_lbr = jnp.where(is_ins, p_lbr, ext_lbr)
-            new_sz = jnp.where(is_ins, p_sz, g_cnt)
-            new_err = jnp.where(branch < n_ms, p_err + (p_qc != sym), p_err + 1)
-            new_d = jnp.where(is_del, p_d, p_d + 1)
-            edge_bit = jnp.where(p_side == 0, _EDGE_L, _EDGE_R)
-            other_bit = jnp.where(p_side == 0, _EDGE_R, _EDGE_L)
-            ms_op = p_opf & other_bit
-            del_op = OP_DEL | (p_opf & (_EDGE_L | _EDGE_R)) | edge_bit
-            ins_op = OP_INS | (p_opf & (_EDGE_L | _EDGE_R))
-            new_op = jnp.where(branch < n_ms, ms_op, jnp.where(is_del, del_op, ins_op))
-        else:
-            new_lb, new_lbr, new_sz = ext_lb, ext_lbr, g_cnt
-            new_err = p_err + (p_qc != sym)
-            new_d = p_d + 1
-            new_op = jnp.zeros_like(p_opf)
+            if edit:
+                new_lb = jnp.where(is_ins, p_lb, ext_lb)
+                new_lbr = jnp.where(is_ins, p_lbr, ext_lbr)
+                new_sz = jnp.where(is_ins, p_sz, g_cnt)
+                new_err = jnp.where(branch < n_ms, p_err + (p_qc != sym), p_err + 1)
+                new_d = jnp.where(is_del, p_d, p_d + 1)
+                edge_bit = jnp.where(p_side == 0, _EDGE_L, _EDGE_R)
+                other_bit = jnp.where(p_side == 0, _EDGE_R, _EDGE_L)
+                ms_op = p_opf & other_bit
+                del_op = OP_DEL | (p_opf & _EDGES) | edge_bit
+                ins_op = OP_INS | (p_opf & _EDGES)
+                new_op = jnp.where(branch < n_ms, ms_op, jnp.where(is_del, del_op, ins_op))
+            else:
+                new_lb, new_lbr, new_sz = ext_lb, ext_lbr, g_cnt
+                new_err = p_err + (p_qc != sym)
+                new_d = p_d + 1
+                new_op = jnp.zeros_like(p_opf)
 
-        new_sz = jnp.where(live, new_sz, 0)
-        new_meta = new_op | (new_err << _ERR_SHIFT) | (new_d << _D_SHIFT) | p_rest
-        new_meta = jnp.where(live, new_meta, 0)
+            new_sz = jnp.where(live, new_sz, 0)
+            new_meta = new_op | (new_err << _ERR_SHIFT) | (new_d << _D_SHIFT) | p_rest
+            new_meta = jnp.where(live, new_meta, 0)
 
-        if dedup:
-            # merge PURE duplicates: states identical in every field (they
-            # arise from different operation orderings — e.g. I..D vs D..I —
-            # with identical futures).  One hash probe; collisions between
-            # distinct states are simply not merged (safe).  Hit sets are
-            # unchanged; only duplicate multiplicity shrinks.
-            hsh = (
-                new_lb * jnp.int32(0x9E3779B1 - (1 << 32))
-                ^ new_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
-                ^ new_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
-                ^ new_meta * jnp.int32(0x27D4EB2F)
-            ) & (q_cap - 1)
-            row_ids = jnp.arange(q_cap, dtype=jnp.int32)
-            table = jnp.zeros(q_cap, dtype=jnp.int32).at[hsh].set(row_ids)
-            win = jnp.take(table, hsh)
-            w_lb = jnp.take(new_lb, win)
-            w_lbr = jnp.take(new_lbr, win)
-            w_sz = jnp.take(new_sz, win)
-            w_meta = jnp.take(new_meta, win)
-            same = (
-                (w_lb == new_lb) & (w_lbr == new_lbr)
-                & (w_sz == new_sz) & (w_meta == new_meta)
-            )
-            kill = same & (win != row_ids) & (new_sz > 0)
-            new_sz = jnp.where(kill, 0, new_sz)
+            new_state = jnp.stack([new_lb, new_lbr, new_sz, new_meta], axis=1)
+            return new_state, hits, n_hits, q_ovf, h_ovf, max_live, total
 
-        new_state = jnp.stack([new_lb, new_lbr, new_sz, new_meta], axis=1)
-        return new_state, hits, n_hits, q_ovf, h_ovf, max_live
+        return expand_step
 
-    hits0 = (
-        jnp.zeros(hq_cap, dtype=jnp.int32),
-        jnp.zeros(hq_cap, dtype=jnp.int32),
-        jnp.zeros(hq_cap, dtype=jnp.int32),
-        jnp.zeros(hq_cap, dtype=jnp.int32),
-    )
+    hits0 = jnp.zeros((hq_cap, 4), dtype=jnp.int32)
     n_hits0 = jnp.int32(0)
     ovf0 = jnp.bool_(False)
+    max_live0 = jnp.int32(0)
 
-    # main segment: no state can have finished yet (d grows by <= 1/step)
-    main_steps = max(m - ph0 - 1, 0)
-    tail_steps = (m - ph0) + 1 + (k if edit else 0) - main_steps
+    def _resize(state, new_cap, q_ovf):
+        cur = state.shape[0]
+        if new_cap == cur:
+            return state, q_ovf
+        if new_cap > cur:
+            return jnp.concatenate([state, jnp.zeros((new_cap - cur, 4), dtype=jnp.int32)]), q_ovf
+        # shrinking: live rows are compacted at the front; flag if any live
+        # row would be cut off (triggers the host retry path)
+        q_ovf = q_ovf | jnp.any(state[new_cap:, 2] > 0)
+        return state[:new_cap], q_ovf
 
-    def main_body(carry, _):
-        state, q_ovf, max_live = carry
-        state, _, _, q_ovf, _, max_live = expand_step(state, False, hits0, n_hits0, q_ovf, ovf0, max_live)
-        return (state, q_ovf, max_live), None
+    live_profiles = [seed_total.reshape(1)]
+    max_live = max_live0
+    for steps, cap in plan:
+        state, q_ovf = _resize(state, cap, q_ovf)
+        step_fn = make_step(cap, drain=False)
 
-    (state, q_ovf, max_live), _ = lax.scan(main_body, (state0, ovf0, jnp.int32(0)), None, length=main_steps)
+        def main_body(carry, _):
+            state, q_ovf, max_live = carry
+            state, _, _, q_ovf, _, max_live, total = step_fn(state, hits0, n_hits0, q_ovf, ovf0, max_live)
+            return (state, q_ovf, max_live), total
+
+        (state, q_ovf, max_live), lives = lax.scan(main_body, (state, q_ovf, max_live), None, length=steps)
+        live_profiles.append(lives)
+
+    state, q_ovf = _resize(state, tail_cap, q_ovf)
+    tail_fn = make_step(tail_cap, drain=True)
 
     def tail_body(carry, _):
         state, hits, n_hits, q_ovf, h_ovf, max_live = carry
-        state, hits, n_hits, q_ovf, h_ovf, max_live = expand_step(state, True, hits, n_hits, q_ovf, h_ovf, max_live)
-        return (state, hits, n_hits, q_ovf, h_ovf, max_live), None
+        state, hits, n_hits, q_ovf, h_ovf, max_live, total = tail_fn(state, hits, n_hits, q_ovf, h_ovf, max_live)
+        return (state, hits, n_hits, q_ovf, h_ovf, max_live), total
 
-    (state, hits, n_hits, q_ovf, h_ovf, max_live), _ = lax.scan(
+    (state, hits, n_hits, q_ovf, h_ovf, max_live), tail_lives = lax.scan(
         tail_body, (state, hits0, n_hits0, q_ovf, ovf0, max_live), None, length=tail_steps
     )
-    h_lane, h_lb, h_sz, h_err = hits
+    live_profiles.append(tail_lives)
+
     # pack everything into ONE output array: device->host transfers pay a
     # large fixed latency on tunneled backends, so one transfer, not seven
     tailvals = jnp.zeros(8, dtype=jnp.int32)
@@ -403,7 +485,8 @@ def workq_search(
     tailvals = tailvals.at[1].set(q_ovf.astype(jnp.int32))
     tailvals = tailvals.at[2].set(h_ovf.astype(jnp.int32))
     tailvals = tailvals.at[3].set(max_live)
-    return jnp.concatenate([h_lane, h_lb, h_sz, h_err, tailvals])
+    profile = jnp.concatenate(live_profiles)
+    return jnp.concatenate([hits.T.reshape(-1), tailvals, profile])
 
 
 def phase0_length(tape: SchemeTape, edit: bool) -> int:
@@ -419,10 +502,15 @@ def phase0_length(tape: SchemeTape, edit: bool) -> int:
     return ph0
 
 
-# last successful (q_cap, hq_cap) per workload signature: retries are
+# per-workload tuning memory: last successful capacities plus the
+# elementwise-max per-step live profile observed so far.  Retries are
 # expensive (a full extra search run + possibly a compile), so later calls
-# start from capacities that worked
-_CAP_MEMORY: dict[tuple, tuple[int, int]] = {}
+# start from capacities/plans that worked; the profile only grows, so the
+# derived segment plan converges and stays compile-stable.
+_CAP_MEMORY: dict[tuple, dict] = {}
+
+_MAX_SEGS = 4
+_PLAN_MARGIN = 1.5
 
 
 def _pow2_cap(x: int) -> int:
@@ -430,6 +518,42 @@ def _pow2_cap(x: int) -> int:
     while n < x:
         n *= 2
     return n
+
+
+def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> tuple[tuple, int]:
+    """Derive a segmented capacity plan from a measured live profile.
+
+    ``profile`` = [seed_total, live after each of main+tail steps].  The
+    capacity for step t must hold both the states entering it and its
+    survivors; segments are merged greedily (fewest extra row-steps) down
+    to at most ``_MAX_SEGS`` to bound compiled program size."""
+    prof = np.asarray(profile, dtype=np.int64)
+    need = np.maximum(prof[:-1], prof[1:])  # need[t] for step t (0-based over all steps)
+    caps = [_pow2_cap(int(v * _PLAN_MARGIN) + 1) for v in need]
+    main_caps = caps[:main_steps]
+    tail_cap = max(caps[main_steps:], default=_BLK)
+    if not main_caps:
+        return (), tail_cap
+    # contiguous runs of equal cap
+    runs: list[list[int]] = []  # [steps, cap]
+    for c in main_caps:
+        if runs and runs[-1][1] == c:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, c])
+    # greedy merge until few enough segments: pick the adjacent pair whose
+    # merge adds the fewest row-steps
+    while len(runs) > _MAX_SEGS:
+        best_i, best_cost = 0, None
+        for i in range(len(runs) - 1):
+            (s1, c1), (s2, c2) = runs[i], runs[i + 1]
+            cost = (s1 + s2) * max(c1, c2) - (s1 * c1 + s2 * c2)
+            if best_cost is None or cost < best_cost:
+                best_i, best_cost = i, cost
+        s1, c1 = runs[best_i]
+        s2, c2 = runs.pop(best_i + 1)
+        runs[best_i] = [s1 + s2, max(c1, c2)]
+    return tuple((s, c) for s, c in runs), tail_cap
 
 
 def run_workq_search(
@@ -445,7 +569,8 @@ def run_workq_search(
     device_tape: tuple | None = None,
     dedup: bool = False,
 ) -> FlatHits:
-    """Host wrapper with overflow retry (doubling queue/hit capacity).
+    """Host wrapper with overflow retry (doubling queue/hit capacity) and
+    live-profile-driven segmented capacity planning.
 
     ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
     device arrays so repeated chunk calls skip the host->device latency."""
@@ -454,6 +579,7 @@ def run_workq_search(
     k = tape.max_errors
     b = nq * ns
     ph0 = phase0_length(tape, edit)
+    main_steps, tail_steps = main_tail_steps(m, ph0, k, edit)
     queries_j = jnp.asarray(queries, dtype=jnp.int32)
     act = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
     if device_tape is None:
@@ -461,30 +587,61 @@ def run_workq_search(
     t_side, t_qpos, t_lo, t_hi = device_tape
 
     cap_key = (nq, ns, m, k, edit, dedup, int(index.n))
-    q_cap, hq_cap = _CAP_MEMORY.get(
-        cap_key, (_pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult))
-    )
+    mem = _CAP_MEMORY.get(cap_key)
+    use_profile = mem is not None and mem.get("profile") is not None
+    if mem is None:
+        q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult)
+    else:
+        q_cap, hq_cap = mem["q_cap"], mem["hq_cap"]
     for attempt in range(max_retries):
+        if use_profile:
+            plan, tail_cap = plan_from_profile(mem["profile"], main_steps, tail_steps)
+            # compile hysteresis: chunk-to-chunk profile jitter must not
+            # trigger a recompile per chunk — keep the already-compiled
+            # plan unless the new one is meaningfully cheaper AND the old
+            # one still has capacity for the grown profile
+            old_plan = mem.get("plan")
+            if old_plan is not None:
+                (op, otc), (np_, ntc) = old_plan, (plan, tail_cap)
+                old_cost = sum(s * c for s, c in op) + tail_steps * otc
+                new_cost = sum(s * c for s, c in np_) + tail_steps * ntc
+                fits = otc >= ntc and len(op) == len(np_) and all(
+                    oc >= nc and os_ == ns_ for (os_, oc), (ns_, nc) in zip(op, np_)
+                )
+                if fits and new_cost >= 0.7 * old_cost:
+                    plan, tail_cap = op, otc
+            mem["plan"] = (plan, tail_cap)
+        else:
+            plan = ((main_steps, q_cap),) if main_steps else ()
+            tail_cap = q_cap
         packed = workq_search(
             index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
-            edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
-            dedup=dedup,
+            edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
+            m=m, ns=ns, k=k, ph0=ph0, dedup=dedup,
         )
         packed = np.asarray(packed)  # ONE device->host transfer
         n_hits = int(packed[4 * hq_cap])
         q_ovf_b = bool(packed[4 * hq_cap + 1])
         h_ovf_b = bool(packed[4 * hq_cap + 2])
         max_live = int(packed[4 * hq_cap + 3])
+        profile = packed[4 * hq_cap + 8 :]
         if not (q_ovf_b or h_ovf_b) or attempt == max_retries - 1:
-            # right-size future calls from the observed peaks, quantized to
+            # remember the observed peaks for future calls, quantized to
             # powers of two to bound the number of compiled variants; the
-            # stored value only grows across chunks, so it converges to the
-            # workload's true peak (x1.3 margin) and stays there
-            # pow2 rounding supplies the safety margin in the common case
-            want_q = _pow2_cap(max_live + b)
+            # stored values only grow across chunks, so they converge to
+            # the workload's true peak and stay there
+            want_q = _pow2_cap(max_live + _BLK)
             want_h = _pow2_cap(n_hits + _BLK)
-            old_q, old_h = _CAP_MEMORY.get(cap_key, (0, 0))
-            _CAP_MEMORY[cap_key] = (max(want_q, old_q), max(want_h, old_h))
+            old = _CAP_MEMORY.get(cap_key)
+            new_prof = profile.astype(np.int64)
+            if old is not None and old.get("profile") is not None and len(old["profile"]) == len(new_prof):
+                new_prof = np.maximum(old["profile"], new_prof)
+            _CAP_MEMORY[cap_key] = {
+                "q_cap": max(want_q, old["q_cap"] if old else 0),
+                "hq_cap": max(want_h, old["hq_cap"] if old else 0),
+                "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
+                "plan": old.get("plan") if old else None,
+            }
             n = n_hits
             return FlatHits(
                 lane=packed[:n],
@@ -495,9 +652,16 @@ def run_workq_search(
                 queue_overflow=q_ovf_b,
                 hit_overflow=h_ovf_b,
                 max_live=max_live,
+                live_profile=profile,
             )
         if q_ovf_b:
-            q_cap *= 2
+            if use_profile:
+                # a profiled plan undersized a segment: fall back to a flat
+                # plan at the remembered peak capacity for this retry
+                use_profile = False
+                q_cap = max(q_cap, _pow2_cap(max_live + _BLK)) * 2
+            else:
+                q_cap *= 2
         if h_ovf_b:
             hq_cap *= 2
     raise AssertionError("unreachable")

@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sahara_tpu.engine.approx import SearchHits, scheme_search
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.tape import SchemeTape
-from sahara_tpu.engine.workq import FlatHits, phase0_length, workq_search
+from sahara_tpu.engine.workq import FlatHits, main_tail_steps, phase0_length, workq_search
 from sahara_tpu.parallel.mesh import DATA_AXIS, shard_queries
 
 
@@ -130,12 +130,16 @@ def distributed_workq_search(
     t_hi = jnp.asarray(tape.hi)
     active = np.arange(nq_pad) < nq_orig
 
+    main_steps, _ = main_tail_steps(m, ph0, k, edit)
+
     def make_fn(q_cap, hq_cap):
+        plan = ((main_steps, q_cap),) if main_steps else ()
+
         def shard_fn(index, q_shard, side, qpos, lo, hi, act):
             packed = workq_search(
                 index, q_shard, side, qpos, lo, hi, act,
-                edit=edit, q_cap=q_cap, hq_cap=hq_cap, m=m, ns=ns, k=k, ph0=ph0,
-                dedup=dedup,
+                edit=edit, plan=plan, tail_cap=q_cap, hq_cap=hq_cap,
+                m=m, ns=ns, k=k, ph0=ph0, dedup=dedup,
             )
             total = jax.lax.psum(packed[4 * hq_cap], DATA_AXIS)
             return packed.reshape(1, -1), total.reshape(1)

@@ -69,26 +69,67 @@ def _pigeon(min_k: int, max_k: int, sigma: int = 0, n: int = 0, opt: bool = Fals
     return raise_min_errors(_pigeon_scheme(max_k + 1, max_k, opt), min_k)
 
 
-def _optimum(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
-    """Kianfar et al. 2018 optimum search schemes (k+1 parts).
-
-    k<=2: the published optimal solutions (non-redundant).  k>=3: the exact
-    published tables are not recoverable offline — falls back to the best
-    re-derived complete scheme (see module docstring)."""
+def _kianfar_tables(max_k: int) -> Scheme | None:
+    """The published optimal solutions of Kianfar et al. 2018 for k <= 2
+    (k+1 parts, non-redundant)."""
     if max_k == 0:
-        ss = _exact_scheme()
-    elif max_k == 1:
-        ss = [
+        return _exact_scheme()
+    if max_k == 1:
+        return [
             Search(pi=(0, 1), l=(0, 0), u=(0, 1)),
             Search(pi=(1, 0), l=(0, 1), u=(0, 1)),
         ]
-    elif max_k == 2:
-        ss = [
+    if max_k == 2:
+        return [
             Search(pi=(0, 1, 2), l=(0, 0, 2), u=(0, 1, 2)),
             Search(pi=(2, 1, 0), l=(0, 0, 0), u=(0, 2, 2)),
             Search(pi=(1, 2, 0), l=(0, 1, 1), u=(0, 1, 2)),
         ]
-    else:
+    return None
+
+
+def _solved(max_k: int, parts: int, max_searches: int, objective: str, edit: bool = False) -> Scheme | None:
+    """Branch-and-bound solved scheme (schemes/solver.py); None when the
+    instance is out of the solver's range."""
+    if max_k > 3:
+        return None
+    from sahara_tpu.schemes.solver import solved_scheme
+
+    return solved_scheme(max_k, parts, max_searches, objective=objective, edit=edit)
+
+
+def _kianfar(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
+    """Kianfar et al. 2018 optimum search schemes, k+1 parts.
+
+    k<=2: the published optimal solutions.  k=3: the exact published table
+    is not recoverable offline — solved fresh over k+1 parts with the
+    paper's objective (minimum node count subject to completeness);
+    k>3 falls back to the pigeonhole construction."""
+    ss = _kianfar_tables(max_k)
+    if ss is None:
+        ss = _solved(max_k, max_k + 1, max_k + 1, "nc")
+    if ss is None:
+        ss = _pigeon_scheme(max_k + 1, max_k, opt=True)
+    return raise_min_errors(ss, min_k)
+
+
+def _optimum(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
+    """Optimum search schemes: the minimum-node-count complete scheme over
+    either k+1 or k+2 parts (branch-and-bound, schemes/solver.py); the
+    published Kianfar tables for k <= 2 (which are exactly that optimum)."""
+    ss = _kianfar_tables(max_k)
+    if ss is None:
+        from sahara_tpu.schemes.costs import node_count
+        from sahara_tpu.schemes.expand import expand
+
+        cands = [
+            _solved(max_k, max_k + 1, max_k + 1, "nc"),
+            _solved(max_k, max_k + 2, max_k + 2, "nc"),
+        ]
+        cands = [c for c in cands if c is not None]
+        if cands:
+            ss = min(cands, key=lambda c: node_count(expand(c, 100), 4, False))
+    if ss is None:
         ss = _pigeon_scheme(max_k + 1, max_k, opt=True)
     return raise_min_errors(ss, min_k)
 
@@ -160,14 +201,19 @@ def _suffix_filter(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme
 
 def _h2(x: int):
     """The 'h2-kX' hand-tuned family of the reference library: re-derived
-    here as first-zero-part schemes over k+X parts; for X >= 2 the extra
-    parts admit ramped upper bounds (u_j = min(j, k)), the main node-count
-    saver."""
+    here as schemes over k+X parts.  For X >= 2 the extra parts admit
+    ramped upper bounds (u_j = min(j, k)), the main node-count saver; for
+    X = 1 (no room to ramp) the scheme is solver-optimized over k+1 parts
+    instead of collapsing into the plain pigeonhole."""
 
     def gen(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
         if max_k == 0:
             return raise_min_errors(_exact_scheme(), min_k)
         parts = max_k + x
+        if x == 1:
+            ss = _solved(max_k, parts, max_k + 2, "nc", edit=True)
+            if ss is not None:
+                return raise_min_errors(ss, min_k)
         return _ramped_or_fallback(parts, min_k, max_k, ramp=x >= 2)
 
     return gen
@@ -185,9 +231,12 @@ def _ramped_or_fallback(parts: int, min_k: int, max_k: int, ramp: bool) -> Schem
 
 
 def _kucherov(extra: int):
-    """Kucherov, Salikhov & Tsur 2014 style schemes with k+extra parts,
-    re-derived as first-zero-part schemes with ramped bounds where the part
-    count admits them (see module docstring)."""
+    """Kucherov, Salikhov & Tsur 2014 style schemes: the family's defining
+    trait is the part count (k+1 or k+2 parts, exactly k+1 searches);
+    the exact published tables live in the non-vendored dependency, so the
+    tables are re-derived by solving that constrained instance with the
+    paper's objective (expected visited nodes on random text); out of the
+    solver's range, falls back to the ramped pigeonhole construction."""
 
     def gen(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
         if max_k == 0:
@@ -199,15 +248,29 @@ def _kucherov(extra: int):
             ]
             return raise_min_errors(ss, min_k)
         parts = max_k + extra
+        ss = _solved(max_k, parts, max_k + 1, "wnc")
+        if ss is not None:
+            return raise_min_errors(ss, min_k)
         return _ramped_or_fallback(parts, min_k, max_k, ramp=extra >= 2)
 
     return gen
 
 
 def _lam(min_k: int, max_k: int, sigma: int = 0, n: int = 0) -> Scheme:
-    """Lam et al. 2009 bidirectional pigeonhole (k+1 parts, no lower
-    bounds)."""
-    return _pigeon(min_k, max_k, sigma, n, opt=False)
+    """Lam et al. 2009 bidirectional pigeonhole: k+1 parts, search i pins
+    part i exact and expands *leftward first* (the paper's case analysis
+    walks the low-index parts through the backward index before extending
+    right) — no lower bounds."""
+    k = max_k
+    if k == 0:
+        return raise_min_errors(_exact_scheme(), min_k)
+    parts = k + 1
+    searches = []
+    for i in range(min(parts, k + 1)):
+        pi = tuple(range(i, -1, -1)) + tuple(range(i + 1, parts))
+        u = (0,) + (k,) * (parts - 1)
+        searches.append(Search(pi=pi, l=(0,) * parts, u=u))
+    return raise_min_errors(searches, min_k)
 
 
 def _pex_spans_balanced(lo: int, hi: int, leaf: int) -> list[tuple[int, int]]:
@@ -311,7 +374,7 @@ def _register(name: str, description: str, gen: Generator) -> None:
 
 
 _register("backtracking", "naive backtracking over the whole pattern", _backtracking)
-_register("optimum", "optimum search schemes (Kianfar et al. 2018)", _optimum)
+_register("optimum", "optimum search schemes (branch-and-bound solved)", _optimum)
 _register("01*0", "01*0 seeds (Vroland et al. 2016)", _zero_one_star_zero)
 _register("01*0_opt", "01*0 seeds with partial redundancy reduction", lambda a, b, c=0, d=0: _zero_one_star_zero(a, b, c, d, opt=True))
 _register("pigeon", "pigeonhole partitioning", lambda a, b, c=0, d=0: _pigeon(a, b, c, d, opt=False))
@@ -320,7 +383,7 @@ _register("suffix", "suffix filter (Kärkkäinen & Na 2007)", _suffix_filter)
 _register("h2-k1", "hand-tuned schemes, k+1 parts", _h2(1))
 _register("h2-k2", "hand-tuned schemes, k+2 parts", _h2(2))
 _register("h2-k3", "hand-tuned schemes, k+3 parts", _h2(3))
-_register("kianfar", "schemes from Kianfar et al. 2018", _optimum)
+_register("kianfar", "schemes from Kianfar et al. 2018", _kianfar)
 _register("kucherov-k1", "Kucherov et al. 2014, k+1 parts", _kucherov(1))
 _register("kucherov-k2", "Kucherov et al. 2014, k+2 parts", _kucherov(2))
 _register("lam", "Lam et al. 2009 bidirectional pigeonhole", _lam)
