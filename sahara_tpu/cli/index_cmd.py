@@ -38,6 +38,23 @@ def _build_and_save(args, alphabet, *, suffix: str, bidirectional: bool, unknown
         # reverse lets a single forward search find both strands; mirror
         # copies get seqIds [m, 2m).
         seqs = seqs + [s[::-1].copy() for s in seqs]
+    max_shard_mb = getattr(args, "max_shard_mb", 0)
+    if bidirectional and (max_shard_mb or total >= 2**31 - 2**27):
+        # beyond-int32 references: interval-sharded container (configs[3])
+        from sahara_tpu.index.shard import DEFAULT_MAX_CHARS, ShardedIndex, build_sharded_bifmindex, save_sharded
+
+        max_chars = int(max_shard_mb * 1_000_000) if max_shard_mb else DEFAULT_MAX_CHARS
+        index = build_sharded_bifmindex(seqs, alphabet.sigma, alphabet.name, rate=16, max_chars=max_chars)
+        timing.mark("index creation")
+        out_path = str(args.input) + suffix
+        if isinstance(index, ShardedIndex):
+            print(f"  shards: {index.num_shards}")
+            save_sharded(out_path, index)
+        else:
+            save_index(out_path, index)
+        timing.mark("saving to disk")
+        timing.print_stats()
+        return out_path
     if bidirectional:
         index = build_bifmindex(seqs, alphabet.sigma, alphabet.name, rate=16)
     else:
@@ -77,6 +94,9 @@ def register(subparsers):
                    help="ignores unknown nuclioteds in input data and replaces them with 'N'")
     p.add_argument("--dna4", action="store_true",
                    help="use dna 4 alphabet, replace 'N' with random ACG or T")
+    p.add_argument("--max_shard_mb", type=float, default=0,
+                   help="split the index into text-interval shards of at most this many MB "
+                        "(0 = automatic: shard only when the text exceeds the int32 device limit)")
     p.set_defaults(func=cmd_index)
 
     p = subparsers.add_parser("uni-index", help="construct an unidirectional index over a given input file")

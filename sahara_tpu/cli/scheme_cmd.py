@@ -18,7 +18,14 @@ from sahara_tpu.schemes import (
     is_valid,
     limit_to_hamming,
 )
-from sahara_tpu.schemes.costs import expand_by_wnc, node_count, optimize_by_wnc, weighted_node_count
+from sahara_tpu.schemes.costs import (
+    expand_by_wnc,
+    expand_by_wnc_topdown,
+    node_count,
+    optimize_by_wnc,
+    optimize_by_wnc_topdown,
+    weighted_node_count,
+)
 from sahara_tpu.tikz import generate_tikz
 from sahara_tpu.utils.errors import SaharaError
 
@@ -36,8 +43,10 @@ def _generate_counts(ss, args):
     parts = ss[0].parts
     if args.expansion_mode == "uniform":
         return expand_count(parts, args.length)
-    if args.expansion_mode in ("bottomup", "topdown"):
+    if args.expansion_mode == "bottomup":
         return optimize_by_wnc(ss, args.length, args.sigma, args.ref_length)
+    if args.expansion_mode == "topdown":
+        return optimize_by_wnc_topdown(ss, args.length, args.sigma, args.ref_length)
     raise SaharaError("invalid parameter for expansion mode")
 
 
@@ -94,7 +103,8 @@ def print_table(args):
     print(f"reference length:    {args.ref_length}")
     print(
         f"{'name':^15} | {'parts':^6} {'searches':^8} {'valid':^6} {'complete':^8} "
-        f"{'non-red':^10} | {'node count ham/edit':^32} | {'weighted nnc ham/edit':^25} | {'dyn exp':^25}"
+        f"{'non-red':^10} | {'node count ham/edit':^32} | {'weighted nnc ham/edit':^25} | "
+        f"{'dyn exp (bu)':^25} | {'dyn exp (td)':^25}"
     )
     for name in ORDER:
         if name not in GENERATORS:
@@ -106,6 +116,8 @@ def print_table(args):
         ss = expand(sss, counts)
         dss_ham = expand_by_wnc(sss, args.length, args.sigma, args.ref_length, edit=False)
         dss_edit = expand_by_wnc(sss, args.length, args.sigma, args.ref_length, edit=True)
+        tds_ham = expand_by_wnc_topdown(sss, args.length, args.sigma, args.ref_length, edit=False)
+        tds_edit = expand_by_wnc_topdown(sss, args.length, args.sigma, args.ref_length, edit=True)
         parts = sss[0].parts if sss else 0
         valid = is_valid(sss)
         complete = is_complete(sss, args.min_error, args.max_error)
@@ -116,7 +128,9 @@ def print_table(args):
             f"{weighted_node_count(ss, args.sigma, args.ref_length, edit=False):>12.2f} "
             f"{weighted_node_count(ss, args.sigma, args.ref_length, edit=True):>12.2f} | "
             f"{weighted_node_count(dss_ham, args.sigma, args.ref_length, edit=False):>12.2f} "
-            f"{weighted_node_count(dss_edit, args.sigma, args.ref_length, edit=True):>12.2f}"
+            f"{weighted_node_count(dss_edit, args.sigma, args.ref_length, edit=True):>12.2f} | "
+            f"{weighted_node_count(tds_ham, args.sigma, args.ref_length, edit=False):>12.2f} "
+            f"{weighted_node_count(tds_edit, args.sigma, args.ref_length, edit=True):>12.2f}"
         )
 
 

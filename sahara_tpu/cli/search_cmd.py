@@ -65,14 +65,13 @@ def cmd_search(args):
 
     if not os.path.exists(args.index):
         raise SaharaError(f"no valid index path at {args.index}")
-    host = load_index(args.index)
-    index = DeviceIndex.from_host(host)
+    from sahara_tpu.index.shard import ShardedIndex, load_any_index
+
+    host = load_any_index(args.index)
     timing.mark("ld index")
 
     edit = args.distance_metric == "lev"
-    result = search_queries(
-        index,
-        queries,
+    kw = dict(
         k=args.errors,
         generator_name=args.generator,
         edit=edit,
@@ -82,6 +81,13 @@ def cmd_search(args):
         query_ids=query_ids,
         verbose_cb=print,
     )
+    if isinstance(host, ShardedIndex):
+        from sahara_tpu.engine.driver import search_queries_sharded
+
+        result = search_queries_sharded(host, queries, **kw)
+    else:
+        index = DeviceIndex.from_host(host)
+        result = search_queries(index, queries, **kw)
     timing.mark("search")
     timing.mark("locate")
 

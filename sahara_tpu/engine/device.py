@@ -44,8 +44,10 @@ class DeviceIndex:
     def from_host(index: FMIndex, device=None, sharding=None) -> "DeviceIndex":
         if index.n >= 2**31:
             raise ValueError(
-                "single-device index limited to text < 2^31; shard the index by "
-                "text interval for larger references"
+                "single-device index limited to text < 2^31 positions; build an "
+                "interval-sharded index instead (sahara_tpu.index.shard."
+                "build_sharded_bifmindex / `index --max_shard_mb`) and search it "
+                "with search_queries_sharded or parallel.interval"
             )
 
         def put(x):

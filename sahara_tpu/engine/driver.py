@@ -19,7 +19,7 @@ from sahara_tpu.engine.locate import locate, locate_rows_host
 from sahara_tpu.engine.tape import SchemeTape, compile_tape
 from sahara_tpu.engine.workq import MAX_NQ, MAX_NS, FlatHits, run_workq_search, upload_tape
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
-from sahara_tpu.schemes.costs import node_count, optimize_by_wnc, weighted_node_count
+from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weighted_node_count
 from sahara_tpu.schemes.types import Scheme
 
 
@@ -80,7 +80,9 @@ def load_scheme(
     gen = get_generator(generator_name)
     oss = gen.generator(min_k, max_k, 0, 0)
     if dynamic:
-        partition = optimize_by_wnc(oss, length, sigma, n_text, edit)
+        # --dynamic_generator uses the top-down optimizer (search.cpp:193-195
+        # calls optimizeByWNCTopDown + expandByWNCTopDown)
+        partition = optimize_by_wnc_topdown(oss, length, sigma, n_text, edit)
         if verbose_cb:
             verbose_cb(f"partition: {partition}")
         ess = expand(oss, partition)
@@ -207,7 +209,9 @@ def _run_workq_grouped(
         for gt, dt in zip(groups, group_tapes):
             # dedup merges states identical in every field (duplicate
             # enumeration orderings); hit positions are unchanged
-            hits = run_workq_search(index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True)
+            hits = run_workq_search(
+                index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True, max_hits=max_hits
+            )
             if hits.queue_overflow or hits.hit_overflow:
                 # the engine is exact only when its static buffers held; a
                 # persistent overflow after the doubling retries means hits
@@ -222,6 +226,45 @@ def _run_workq_grouped(
             )
     merged = _merge_results(results)
     return _cap_hits_per_query(merged, max_hits)
+
+
+def search_queries_sharded(
+    sharded,
+    queries: list[np.ndarray],
+    *,
+    query_ids: np.ndarray | None = None,
+    verbose_cb=None,
+    **kw,
+) -> SearchResult:
+    """Search against an interval-sharded index (index/shard.py): shards
+    are searched sequentially through HBM, per-shard hits map back through
+    the (global seqId, window offset) tables, window-duplicate hits are
+    merged, output is the canonical global order."""
+    from sahara_tpu.engine.device import DeviceIndex
+
+    parts: list[SearchResult] = []
+    for i, host in enumerate(sharded.shards):
+        if verbose_cb:
+            verbose_cb(f"shard {i + 1}/{sharded.num_shards}: n={host.n}")
+        dev = DeviceIndex.from_host(host)
+        res = search_queries(dev, queries, query_ids=query_ids, verbose_cb=verbose_cb, **kw)
+        del dev  # free this shard's HBM before the next one loads
+        gid = sharded.seq_gid[i][res.seq_id]
+        pos = res.pos + sharded.seq_off[i][res.seq_id]
+        parts.append(SearchResult(res.query_id, gid.astype(np.int64), pos.astype(np.int64), res.errors))
+    merged = _merge_results(parts)
+    if len(sharded.windowed_gids) and len(merged.query_id):
+        # hits inside a window overlap appear once per window: keep one
+        windowed = np.isin(merged.seq_id, sharded.windowed_gids)
+        rows = np.stack([merged.query_id, merged.seq_id, merged.pos, merged.errors], axis=1)
+        _, first = np.unique(rows, axis=0, return_index=True)
+        keep_dup = np.zeros(len(rows), dtype=bool)
+        keep_dup[first] = True
+        keep = keep_dup | ~windowed
+        merged = SearchResult(
+            merged.query_id[keep], merged.seq_id[keep], merged.pos[keep], merged.errors[keep]
+        )
+    return merged
 
 
 def _merge_results(results: list[SearchResult]) -> SearchResult:
@@ -298,7 +341,7 @@ def search_queries(
                 hits = run_scheme_search_chunked(
                     index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
                 )
-                if hits.any_overflow():
+                if hits.any_overflow:
                     raise RuntimeError(
                         "scheme search overflowed its frontier/hit buffers after retries; "
                         "hits would be silently dropped"
@@ -327,7 +370,7 @@ def search_queries(
                     hits = run_scheme_search_chunked(
                         index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk
                     )
-                    if hits.any_overflow():
+                    if hits.any_overflow:
                         raise RuntimeError(
                             "scheme search overflowed its frontier/hit buffers after retries; "
                             "hits would be silently dropped"

@@ -142,7 +142,7 @@ def main_tail_steps(m: int, ph0: int, k: int, edit: bool) -> tuple[int, int]:
 
 @partial(
     jax.jit,
-    static_argnames=("edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup"),
+    static_argnames=("edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup", "cap_per_query"),
 )
 def workq_search(
     index: DeviceIndex,
@@ -152,6 +152,7 @@ def workq_search(
     t_lo: jax.Array,
     t_hi: jax.Array,
     active: jax.Array,  # bool[nq]
+    n_init: jax.Array | None = None,  # dynamic text length (interval shards)
     *,
     edit: bool,
     plan: tuple[tuple[int, int], ...],  # ((steps, q_cap), ...) covering main_steps
@@ -162,10 +163,17 @@ def workq_search(
     k: int,
     ph0: int,
     dedup: bool = False,
+    cap_per_query: int = 0,
 ):
     """Returns one packed int32 array [4*hq_cap + 8 + 1 + total_steps]:
     h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow,
-    max_live, pad*4) | live profile (seed count + per-step live totals)."""
+    max_live, pad*4) | live profile (seed count + per-step live totals).
+
+    ``cap_per_query`` > 0 stops expanding a query's lanes once it has
+    emitted that many hit intervals (the in-search ``search_n`` work bound,
+    search.cpp:228): the emitted per-query count may overshoot by one tail
+    step's worth, so drivers wanting an exact cap still filter the result
+    (CONFORMANCE.md §3)."""
     nq = queries.shape[0]
     sigma = index.sigma
     b = nq * ns
@@ -229,7 +237,8 @@ def workq_search(
 
     lb0 = jnp.zeros(b, dtype=jnp.int32)
     lbr0 = jnp.zeros(b, dtype=jnp.int32)
-    sz0 = jnp.where(lane_active, jnp.int32(index.n), 0)
+    n0 = jnp.int32(index.n) if n_init is None else n_init.astype(jnp.int32)
+    sz0 = jnp.where(lane_active, n0, 0)
     (lb0, lbr0, sz0), _ = lax.scan(ph0_step, (lb0, lbr0, sz0), jnp.arange(ph0, dtype=jnp.int32))
 
     # -------- compact surviving seeds into the first segment capacity ----
@@ -241,14 +250,24 @@ def workq_search(
     sel0 = jnp.zeros(cap0, dtype=jnp.int32).at[sdest].set(jnp.arange(b_pad, dtype=jnp.int32), mode="drop")
     live0 = jnp.arange(cap0, dtype=jnp.int32) < jnp.minimum(seed_total, cap0)
     meta0 = (jnp.int32(ph0) << _D_SHIFT) | (s_id0 << _S_SHIFT) | (q_id0 << _Q_SHIFT)
-    seed_mat = jnp.stack([lb0, lbr0, sz0, meta0], axis=1)  # [b, 4]
-    state = jnp.where(live0[:, None], jnp.take(seed_mat, jnp.minimum(sel0, b - 1), axis=0), 0)
+    # per-column gathers (see the drain note: stacked-matrix row gathers
+    # miscompiled on the axon backend)
+    sel0c = jnp.minimum(sel0, b - 1)
+    # the state is carried as FOUR parallel vectors, never a stacked
+    # [cap, 4] matrix: matrix row-gathers of stacked int32 state rows
+    # miscompiled on the axon TPU backend (some columns returned zeros)
+    state = (
+        jnp.where(live0, jnp.take(lb0, sel0c), 0),
+        jnp.where(live0, jnp.take(lbr0, sel0c), 0),
+        jnp.where(live0, jnp.take(sz0, sel0c), 0),
+        jnp.where(live0, jnp.take(meta0, sel0c), 0),
+    )
     q_ovf = seed_total > cap0
 
     def make_step(cap, drain):
-        def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live):
+        def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts):
             """One generic step: dedup -> drain -> candidates -> compaction."""
-            q_lb, q_lbr, q_sz, meta = state[:, 0], state[:, 1], state[:, 2], state[:, 3]
+            q_lb, q_lbr, q_sz, meta = state
             opf = meta & _OPF_MASK
             err = (meta >> _ERR_SHIFT) & _ERR_MASK
             d = (meta >> _D_SHIFT) & _D_MASK
@@ -289,14 +308,13 @@ def workq_search(
                 packed_pri = jnp.where(alive, packed_pri, _I32_MAX)
                 table = jnp.full(cap, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
                 win = jnp.take(table, hsh) & (cap - 1)
-                wrow = jnp.take(state, win, axis=0)
-                w_meta = wrow[:, 3]
+                w_meta = jnp.take(meta, win)
                 w_opf = w_meta & _OPF_MASK
                 w_err = (w_meta >> _ERR_SHIFT) & _ERR_MASK
                 same = (
-                    (wrow[:, 0] == q_lb)
-                    & (wrow[:, 1] == q_lbr)
-                    & (wrow[:, 2] == q_sz)
+                    (jnp.take(q_lb, win) == q_lb)
+                    & (jnp.take(q_lbr, win) == q_lbr)
+                    & (jnp.take(q_sz, win) == q_sz)
                     & (((w_meta ^ meta) & _META_KEY_MASK) == 0)
                 )
                 err_dom = (w_err == err) | ((w_err < err) & (maxlo <= w_err))
@@ -309,6 +327,9 @@ def workq_search(
                 alive = alive & ~kill
 
             if drain:
+                if cap_per_query:
+                    # kill all lanes of queries that already emitted enough
+                    alive = alive & (jnp.take(hq_counts, q_id) < cap_per_query)
                 done = alive & (d >= m)
                 finished = done & ((opf & _EDGES) == 0)
                 fpos, ftot = _positions(finished, tri)
@@ -325,12 +346,20 @@ def workq_search(
                 sel_hc = jnp.minimum(sel_h, cap - 1)
                 slot_new = jnp.arange(hq_cap, dtype=jnp.int32) >= n_hits
                 upd = slot_new & got
-                hit_src = jnp.stack([lane, q_lb, q_sz, err], axis=1)  # [cap, 4]
-                hrows = jnp.take(hit_src, sel_hc, axis=0)  # ONE gather
-                hits = jnp.where(upd[:, None], hrows, hits)
+                # four per-column gathers, NOT a stacked [cap, 4] matrix +
+                # row gather: the fused form miscompiled on the axon TPU
+                # backend (the first column came back all zeros)
+                h_lane, h_lb, h_sz, h_err = hits
+                h_lane = jnp.where(upd, jnp.take(lane, sel_hc), h_lane)
+                h_lb = jnp.where(upd, jnp.take(q_lb, sel_hc), h_lb)
+                h_sz = jnp.where(upd, jnp.take(q_sz, sel_hc), h_sz)
+                h_err = jnp.where(upd, jnp.take(err, sel_hc), h_err)
+                hits = (h_lane, h_lb, h_sz, h_err)
                 h_ovf = h_ovf | (n_hits + ftot > hq_cap)
                 n_hits = jnp.minimum(n_hits + ftot, hq_cap)
                 alive = alive & ~done
+                if cap_per_query:
+                    hq_counts = hq_counts.at[q_id].add(finished.astype(jnp.int32), mode="drop")
 
             # ---- one fused occ gather ----------------------------------
             primary = jnp.where(side == 1, q_lbr, q_lb)
@@ -340,11 +369,11 @@ def workq_search(
             prefix = jnp.cumsum(cnt, axis=-1) - cnt
             newp = c_arr[None, :sigma] + r_lo
             news = secondary[:, None] + prefix
-            # rank products + per-state (side, qc), packed with the state
-            # matrix for ONE combined row-gather by the survivors
-            extra = jnp.broadcast_to((side | (qc << 1))[:, None], (cap, sigma))
-            prod4 = jnp.stack([cnt, newp, news, extra], axis=-1).reshape(-1, 4)
-            tbl = lax.optimization_barrier(jnp.concatenate([state, prod4], axis=0))
+            # rank products kept as per-field flat [cap*sigma] vectors
+            # (no stacked-matrix row gathers — see the state-vector note)
+            f_cnt = lax.optimization_barrier(cnt.reshape(-1))
+            f_newp = lax.optimization_barrier(newp.reshape(-1))
+            f_news = lax.optimization_barrier(news.reshape(-1))
 
             # ---- candidate flags [cap, e_pad] ---------------------------
             syms = jnp.arange(1, sigma, dtype=jnp.int32)[None, :]
@@ -392,18 +421,21 @@ def workq_search(
             sym = jnp.where(branch < n_ms, branch + 1, branch - n_ms + 1)
             sym = jnp.clip(sym, 1, sigma - 1)
 
-            # ---- survivor fields: ONE combined row gather ---------------
-            gidx = jnp.concatenate([parent, cap + parent * sigma + sym])
-            grows = jnp.take(tbl, gidx, axis=0)  # [2*cap, 4]
-            p_rows, g_rows = grows[:cap], grows[cap:]
-            p_lb, p_lbr, p_sz, p_meta = p_rows[:, 0], p_rows[:, 1], p_rows[:, 2], p_rows[:, 3]
-            g_cnt, g_newp, g_news, g_extra = g_rows[:, 0], g_rows[:, 1], g_rows[:, 2], g_rows[:, 3]
+            # ---- survivor fields: per-column gathers --------------------
+            p_lb = jnp.take(q_lb, parent)
+            p_lbr = jnp.take(q_lbr, parent)
+            p_sz = jnp.take(q_sz, parent)
+            p_meta = jnp.take(meta, parent)
+            pidx = parent * sigma + sym
+            g_cnt = jnp.take(f_cnt, pidx)
+            g_newp = jnp.take(f_newp, pidx)
+            g_news = jnp.take(f_news, pidx)
             p_opf = p_meta & _OPF_MASK
             p_err = (p_meta >> _ERR_SHIFT) & _ERR_MASK
             p_d = (p_meta >> _D_SHIFT) & _D_MASK
             p_rest = p_meta & ~jnp.int32(_OPF_MASK | (_ERR_MASK << _ERR_SHIFT) | (_D_MASK << _D_SHIFT))
-            p_side = g_extra & 1
-            p_qc = g_extra >> 1
+            p_side = jnp.take(side, parent)
+            p_qc = jnp.take(qc, parent)
 
             ext_lb = jnp.where(p_side == 1, g_news, g_newp)
             ext_lbr = jnp.where(p_side == 1, g_newp, g_news)
@@ -430,27 +462,34 @@ def workq_search(
             new_meta = new_op | (new_err << _ERR_SHIFT) | (new_d << _D_SHIFT) | p_rest
             new_meta = jnp.where(live, new_meta, 0)
 
-            new_state = jnp.stack([new_lb, new_lbr, new_sz, new_meta], axis=1)
-            return new_state, hits, n_hits, q_ovf, h_ovf, max_live, total
+            new_state = (new_lb, new_lbr, new_sz, new_meta)
+            return new_state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, total
 
         return expand_step
 
-    hits0 = jnp.zeros((hq_cap, 4), dtype=jnp.int32)
+    hits0 = (
+        jnp.zeros(hq_cap, dtype=jnp.int32),
+        jnp.zeros(hq_cap, dtype=jnp.int32),
+        jnp.zeros(hq_cap, dtype=jnp.int32),
+        jnp.zeros(hq_cap, dtype=jnp.int32),
+    )
     n_hits0 = jnp.int32(0)
     ovf0 = jnp.bool_(False)
     max_live0 = jnp.int32(0)
 
     def _resize(state, new_cap, q_ovf):
-        cur = state.shape[0]
+        cur = state[0].shape[0]
         if new_cap == cur:
             return state, q_ovf
         if new_cap > cur:
-            return jnp.concatenate([state, jnp.zeros((new_cap - cur, 4), dtype=jnp.int32)]), q_ovf
+            pad = jnp.zeros(new_cap - cur, dtype=jnp.int32)
+            return tuple(jnp.concatenate([v, pad]) for v in state), q_ovf
         # shrinking: live rows are compacted at the front; flag if any live
         # row would be cut off (triggers the host retry path)
-        q_ovf = q_ovf | jnp.any(state[new_cap:, 2] > 0)
-        return state[:new_cap], q_ovf
+        q_ovf = q_ovf | jnp.any(state[2][new_cap:] > 0)
+        return tuple(v[:new_cap] for v in state), q_ovf
 
+    hq_counts0 = jnp.zeros(nq, dtype=jnp.int32)
     live_profiles = [seed_total.reshape(1)]
     max_live = max_live0
     for steps, cap in plan:
@@ -459,7 +498,9 @@ def workq_search(
 
         def main_body(carry, _):
             state, q_ovf, max_live = carry
-            state, _, _, q_ovf, _, max_live, total = step_fn(state, hits0, n_hits0, q_ovf, ovf0, max_live)
+            state, _, _, q_ovf, _, max_live, _, total = step_fn(
+                state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0
+            )
             return (state, q_ovf, max_live), total
 
         (state, q_ovf, max_live), lives = lax.scan(main_body, (state, q_ovf, max_live), None, length=steps)
@@ -469,12 +510,14 @@ def workq_search(
     tail_fn = make_step(tail_cap, drain=True)
 
     def tail_body(carry, _):
-        state, hits, n_hits, q_ovf, h_ovf, max_live = carry
-        state, hits, n_hits, q_ovf, h_ovf, max_live, total = tail_fn(state, hits, n_hits, q_ovf, h_ovf, max_live)
-        return (state, hits, n_hits, q_ovf, h_ovf, max_live), total
+        state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts = carry
+        state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, total = tail_fn(
+            state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts
+        )
+        return (state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts), total
 
-    (state, hits, n_hits, q_ovf, h_ovf, max_live), tail_lives = lax.scan(
-        tail_body, (state, hits0, n_hits0, q_ovf, ovf0, max_live), None, length=tail_steps
+    (state, hits, n_hits, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
+        tail_body, (state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0), None, length=tail_steps
     )
     live_profiles.append(tail_lives)
 
@@ -486,7 +529,8 @@ def workq_search(
     tailvals = tailvals.at[2].set(h_ovf.astype(jnp.int32))
     tailvals = tailvals.at[3].set(max_live)
     profile = jnp.concatenate(live_profiles)
-    return jnp.concatenate([hits.T.reshape(-1), tailvals, profile])
+    h_lane, h_lb, h_sz, h_err = hits
+    return jnp.concatenate([h_lane, h_lb, h_sz, h_err, tailvals, profile])
 
 
 def phase0_length(tape: SchemeTape, edit: bool) -> int:
@@ -568,9 +612,15 @@ def run_workq_search(
     max_retries: int = 4,
     device_tape: tuple | None = None,
     dedup: bool = False,
+    max_hits: int = 0,
 ) -> FlatHits:
     """Host wrapper with overflow retry (doubling queue/hit capacity) and
     live-profile-driven segmented capacity planning.
+
+    ``max_hits`` > 0 engages the in-search work bound at 4x the cap (see
+    ``workq_search``'s ``cap_per_query``): pathological queries stop
+    expanding once saturated; exact per-query capping in canonical order
+    remains the driver's job.
 
     ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
     device arrays so repeated chunk calls skip the host->device latency."""
@@ -586,7 +636,10 @@ def run_workq_search(
         device_tape = upload_tape(tape)
     t_side, t_qpos, t_lo, t_hi = device_tape
 
-    cap_key = (nq, ns, m, k, edit, dedup, int(index.n))
+    cap_per_query = 4 * max_hits if max_hits > 0 else 0
+    # ph0 is part of the key: it sets main/tail step counts, so profiles
+    # from tapes with a different exact-prefix length are not interchangeable
+    cap_key = (nq, ns, m, k, ph0, edit, dedup, cap_per_query, int(index.n))
     mem = _CAP_MEMORY.get(cap_key)
     use_profile = mem is not None and mem.get("profile") is not None
     if mem is None:
@@ -617,7 +670,7 @@ def run_workq_search(
         packed = workq_search(
             index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
             edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
-            m=m, ns=ns, k=k, ph0=ph0, dedup=dedup,
+            m=m, ns=ns, k=k, ph0=ph0, dedup=dedup, cap_per_query=cap_per_query,
         )
         packed = np.asarray(packed)  # ONE device->host transfer
         n_hits = int(packed[4 * hq_cap])

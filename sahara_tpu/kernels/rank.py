@@ -1,0 +1,114 @@
+"""Pallas TPU kernels for the FM-index rank hot loop.
+
+The engine's fundamental budget is the occ-row gather (one 48-64B row per
+rank-all query; ~87M rows/s via XLA's HBM gather on v5e — measured round
+1).  This module provides a VMEM-resident Pallas alternative for indexes
+whose occ table fits on-chip (E. coli-class references, BASELINE
+configs[0-1]): rows are fetched with dynamic VMEM slices inside the
+kernel, dodging HBM latency entirely.
+
+Re-designs the reference's ``InterleavedBitvector16`` rank structure
+(/root/reference/src/sahara/index.cpp:87 — the "speed-of-light inner
+loop" named in BASELINE.json) for the TPU memory system:
+
+- occ rows are padded from 2*sigma int32 to 16 lanes (64B) so EIGHT rows
+  tile one 128-lane vector register: the kernel loads ``occ16[i >> 3]``
+  (one dynamic sublane slice) and selects the (i & 7) 16-lane group with
+  a one-hot multiply-reduce — no dynamic *lane* slicing, which Mosaic
+  does not support;
+- a grid step processes a block of indices: a ``fori_loop`` of scalar
+  dynamic-slice loads (VMEM latency, pipelined by Mosaic) followed by a
+  fully vectorized select + checkpoint-add + masked popcount;
+- index blocks are scalar-prefetched to SMEM so the loads can issue
+  immediately.
+
+``jnp.take`` remains the implementation for HBM-resident (large) indexes;
+``rank_all_vmem`` is wired behind ``DeviceIndex`` capability checks.  Both
+paths are bit-identical (tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK = 512  # indices per grid step
+_ROWS_PER_VEC = 8  # 16-lane occ rows per 128-lane vector row
+_ROW16 = 16
+
+
+def pack_occ16(occ) -> jax.Array:
+    """Pad occ rows (int32[W, 2*sigma]) to 16 lanes and fold 8 rows per
+    128-lane vector row: int32[ceil(W/8), 128].  Done once at upload."""
+    import numpy as np
+
+    occ = np.asarray(occ)
+    w, c = occ.shape
+    assert c <= _ROW16
+    w_pad = -(-w // _ROWS_PER_VEC) * _ROWS_PER_VEC
+    out = np.zeros((w_pad, _ROW16), dtype=np.int32)
+    out[:w, :c] = occ
+    return jnp.asarray(out.reshape(w_pad // _ROWS_PER_VEC, _ROWS_PER_VEC * _ROW16))
+
+
+def _rank_kernel(idx_ref, occ_ref, out_ref, scratch_ref, *, sigma: int):
+    """One grid step: rank-all for a block of _BLOCK positions."""
+    blk = pl.program_id(0)
+
+    def load(c, _):
+        word = idx_ref[blk * _BLOCK + c] >> 5  # occ row of position idx[c]
+        scratch_ref[c, :] = occ_ref[pl.ds(word >> 3, 1), :][0]
+        return 0
+
+    lax.fori_loop(0, _BLOCK, load, 0, unroll=8)
+
+    idx = idx_ref[pl.ds(blk * _BLOCK, _BLOCK)].reshape(_BLOCK, 1)
+    word = idx >> 5
+    group = word & (_ROWS_PER_VEC - 1)  # which 16-lane row inside the vector
+    rows = scratch_ref[:, :].reshape(_BLOCK, _ROWS_PER_VEC, _ROW16)
+    onehot = (
+        lax.broadcasted_iota(jnp.int32, (_BLOCK, _ROWS_PER_VEC), 1) == group
+    ).astype(jnp.int32)
+    row16 = jnp.sum(rows * onehot[:, :, None], axis=1)  # [_BLOCK, 16]
+
+    ckpt = row16[:, :sigma]
+    bits = pltpu.bitcast(row16[:, sigma : 2 * sigma], jnp.uint32)
+    off = pltpu.bitcast(idx & 31, jnp.uint32)
+    mask = (jnp.uint32(1) << off) - jnp.uint32(1)
+    cnt = lax.population_count(bits & mask)
+    out_ref[:, :] = ckpt + pltpu.bitcast(cnt, jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
+def rank_all_vmem(occ16: jax.Array, sigma: int, idx: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """rank-all for positions ``idx`` against a VMEM-resident folded occ
+    table (from :func:`pack_occ16`).  Returns int32[n, sigma]; ``idx`` is
+    padded to a _BLOCK multiple internally."""
+    n = idx.shape[0]
+    n_pad = -(-n // _BLOCK) * _BLOCK
+    if n_pad != n:
+        idx = jnp.concatenate([idx, jnp.zeros(n_pad - n, dtype=jnp.int32)])
+    grid = n_pad // _BLOCK
+    out = pl.pallas_call(
+        functools.partial(_rank_kernel, sigma=sigma),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # all indices, scalar-addressable
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole folded occ table
+        ],
+        out_specs=pl.BlockSpec((_BLOCK, sigma), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, sigma), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((_BLOCK, _ROWS_PER_VEC * _ROW16), jnp.int32)],
+        interpret=interpret,
+    )(idx, occ16)
+    return out[:n]
+
+
+def occ16_vmem_bytes(w_rows: int) -> int:
+    """VMEM footprint of the folded table for a W-row occ table."""
+    return -(-w_rows // _ROWS_PER_VEC) * _ROWS_PER_VEC * _ROW16 * 4

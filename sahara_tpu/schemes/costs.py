@@ -69,20 +69,25 @@ def weighted_node_count(ss: Scheme, sigma: int, n_text: int, edit: bool = False)
     return sum(_search_node_count(s, sigma, float(n_text), edit) for s in ss)
 
 
+def _uniform_counts(parts: int, length: int) -> list[int]:
+    base, rem = divmod(length, parts)
+    return [base + (1 if i < rem else 0) for i in range(parts)]
+
+
 def optimize_by_wnc(
     ss: Scheme, length: int, sigma: int, n_text: int, edit: bool = True
 ) -> list[int]:
-    """Find per-part counts minimizing the weighted node count by greedy
-    hill-climbing from the uniform partition (``optimizeByWNCTopDown``
-    analogue, search.cpp:193-195; the exact reference optimizer is internal
-    to fmindex-collection — this reimplementation matches its contract:
-    a partition of ``length`` whose expanded scheme minimizes WNC)."""
+    """Bottom-up partition optimization (``optimizeByWNC`` analogue,
+    search_scheme.cpp:221-226): first-improvement hill climb from the
+    uniform partition, moving one character between parts at a time (the
+    exact reference optimizer is internal to fmindex-collection — this
+    reimplementation matches its contract: a partition of ``length`` whose
+    expanded scheme minimizes WNC)."""
     if not ss:
         return []
     parts = ss[0].parts
-    base, rem = divmod(length, parts)
-    counts = [base + (1 if i < rem else 0) for i in range(parts)]
-    if parts == 1 or base == 0:
+    counts = _uniform_counts(parts, length)
+    if parts == 1 or counts[-1] == 0:
         return counts
 
     def cost(c: list[int]) -> float:
@@ -108,7 +113,65 @@ def optimize_by_wnc(
     return counts
 
 
+def optimize_by_wnc_topdown(
+    ss: Scheme, length: int, sigma: int, n_text: int, edit: bool = True
+) -> list[int]:
+    """Top-down partition optimization (``optimizeByWNCTopDown`` analogue,
+    search.cpp:193-195): steepest-descent with progressively smaller move
+    granularity — starting from the uniform partition, repeatedly apply
+    the single best transfer of ``step`` characters between any two parts,
+    halving ``step`` (length/4, length/8, ..., 1) as moves stop helping.
+    Reaches strongly uneven partitions the one-character bottom-up climb
+    cannot cross over to."""
+    if not ss:
+        return []
+    parts = ss[0].parts
+    counts = _uniform_counts(parts, length)
+    if parts == 1 or counts[-1] == 0:
+        return counts
+
+    def cost(c: list[int]) -> float:
+        return weighted_node_count(expand(ss, c), sigma, n_text, edit)
+
+    best = cost(counts)
+    step = max(length // 4, 1)
+    while step >= 1:
+        moved = False
+        while True:
+            cand_best, cand = None, None
+            for i in range(parts):
+                if counts[i] <= step:
+                    continue
+                for j in range(parts):
+                    if i == j:
+                        continue
+                    counts[i] -= step
+                    counts[j] += step
+                    c = cost(counts)
+                    counts[i] += step
+                    counts[j] -= step
+                    if c < best - 1e-9 and (cand_best is None or c < cand_best):
+                        cand_best, cand = c, (i, j)
+            if cand is None:
+                break
+            i, j = cand
+            counts[i] -= step
+            counts[j] += step
+            best = cand_best
+            moved = True
+        step = step // 2 if step > 1 else 0
+        if not moved and step == 0:
+            break
+    return counts
+
+
 def expand_by_wnc(ss: Scheme, length: int, sigma: int, n_text: int, edit: bool = True) -> Scheme:
-    """Expand with the WNC-optimized partition (``expandByWNCTopDown``
-    analogue, search.cpp:195,205)."""
+    """Expand with the bottom-up WNC-optimized partition (``expandByWNC``
+    analogue, search_scheme.cpp:221-226)."""
     return expand(ss, optimize_by_wnc(ss, length, sigma, n_text, edit))
+
+
+def expand_by_wnc_topdown(ss: Scheme, length: int, sigma: int, n_text: int, edit: bool = True) -> Scheme:
+    """Expand with the top-down WNC-optimized partition
+    (``expandByWNCTopDown`` analogue, search.cpp:195,205)."""
+    return expand(ss, optimize_by_wnc_topdown(ss, length, sigma, n_text, edit))
