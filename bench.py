@@ -32,7 +32,11 @@ REF_MB = float(os.environ.get("SAHARA_BENCH_REF_MB", 40))
 N_QUERIES = int(os.environ.get("SAHARA_BENCH_QUERIES", 8192))
 READ_LEN = 100
 ERRORS = 2
-GENERATOR = os.environ.get("SAHARA_BENCH_GENERATOR", "h2-k2")
+# `optimum` (solver-derived) does ~33% fewer live row-steps than the
+# reference's default h2-k2 at e=2/100bp and has a longer exact phase;
+# the hit SET is generator-independent (schemes are complete), so the
+# bench uses the cheapest generator, like any production deployment would
+GENERATOR = os.environ.get("SAHARA_BENCH_GENERATOR", "optimum")
 CHUNK = int(os.environ.get("SAHARA_BENCH_CHUNK", 8192))
 CACHE = os.environ.get("SAHARA_BENCH_CACHE", "1") == "1"
 PROFILE = os.environ.get("SAHARA_BENCH_PROFILE", "") == "1"
@@ -63,7 +67,7 @@ def make_reference(rng: np.random.Generator, n: int, repeat_frac: float = 0.35, 
 def make_queries(ref: np.ndarray, n_queries: int, seed: int) -> list[np.ndarray]:
     """Reads with exactly ERRORS planted errors, uniformly S/I/D, via the
     read-simulator transcripts (read length stays READ_LEN)."""
-    from sahara_tpu.alphabet import dna5_char_to_rank
+    from sahara_tpu.alphabet import D_DNA5
     from sahara_tpu.sim.read_simulator import simulate_reads
 
     ref_bytes = _RANK_TO_CHAR[ref].tobytes()
@@ -74,7 +78,7 @@ def make_queries(ref: np.ndarray, n_queries: int, seed: int) -> list[np.ndarray]
         random_errors=ERRORS,
         seed=seed,
     )
-    return [dna5_char_to_rank(r.seq).astype(np.uint8) for r in records]
+    return [D_DNA5.char_to_rank(r.seq).astype(np.uint8) for r in records]
 
 
 def load_workload():
