@@ -17,7 +17,7 @@ from sahara_tpu.engine.approx import SearchHits, run_scheme_search_chunked
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.locate import locate, locate_rows_host
 from sahara_tpu.engine.tape import SchemeTape, compile_tape
-from sahara_tpu.engine.workq import MAX_NQ, MAX_NS, FlatHits, run_workq_search, upload_tape
+from sahara_tpu.engine.workq import MAX_NS, FlatHits, max_chunk_queries, run_workq_search, upload_tape
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
 from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weighted_node_count
 from sahara_tpu.schemes.types import Scheme
@@ -194,7 +194,7 @@ def _run_workq_grouped(
         for g in range(0, ns_total, MAX_NS)
     ]
     group_tapes = [upload_tape(g) for g in groups]
-    chunk = min(chunk, MAX_NQ)
+    chunk = min(chunk, *(max_chunk_queries(g.length, g.num_searches, g.max_errors, edit) for g in groups))
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
     for start in range(0, nq, chunk):

@@ -26,8 +26,10 @@ cost tracks the *actual* number of search-tree nodes.  TPU-specific design
   dead (their exact piece mismatched), so seeds are compacted into the
   first segment's capacity before the queue phase starts.
 
-State = rows of an int32[Q, 4] matrix: (lb, lbr, sz, meta) with meta =
-op+edges(4) | err(3) | d(9) | s_id(3) | q_id(13).  Transition semantics are
+State = four parallel int32[Q] vectors (lb, lbr, sz, meta) with meta =
+opf | err | d | s_id | q_id packed to a workload-sized bit layout
+(``MetaLayout``; Hamming tapes drop the 4 opf bits entirely, so e.g.
+m=100/ns=3/k=2 leaves 17 bits of query id).  Transition semantics are
 identical to v1 (match/sub/del/ins, minimal-span edge flags, I-D adjacency
 suppression) — property-tested for bit-identical hit multisets with
 ``dedup=False``.  With ``dedup=True`` the engine additionally merges
@@ -55,18 +57,89 @@ from sahara_tpu.engine.tape import SchemeTape
 OP_MATCH, OP_INS, OP_DEL = 0, 1, 2
 _EDGE_L, _EDGE_R = 4, 8
 _EDGES = _EDGE_L | _EDGE_R
-_OPF_MASK = 0xF  # op + edge flags
-_ERR_SHIFT, _D_SHIFT, _S_SHIFT, _Q_SHIFT = 4, 7, 16, 19
-_ERR_MASK, _D_MASK, _S_MASK, _Q_MASK = 0x7, 0x1FF, 0x7, 0x1FFF
-_META_KEY_MASK = ~0x7F  # d | s_id | q_id (cursor identity minus op/err)
 
-MAX_NQ = _Q_MASK + 1  # 8192 queries per chunk
-MAX_NS = _S_MASK + 1  # 8 searches per tape
-MAX_M = _D_MASK  # 511
-MAX_ERR = _ERR_MASK  # 7
+MAX_NS = 8  # searches per tape (driver splits bigger schemes into groups)
+MAX_M = 511
+MAX_ERR = 7
 
 _BLK = 512
 _I32_MAX = np.iinfo(np.int32).max
+
+
+@dataclasses.dataclass(frozen=True)
+class MetaLayout:
+    """Bit layout of the packed per-state meta word, sized to the actual
+    workload statics so the query-id field gets every spare bit (Hamming
+    tapes carry no op/edge info at all): opf | err | d | s_id | q_id."""
+
+    opf_bits: int
+    err_bits: int
+    d_bits: int
+    s_bits: int
+
+    @property
+    def err_shift(self) -> int:
+        return self.opf_bits
+
+    @property
+    def d_shift(self) -> int:
+        return self.opf_bits + self.err_bits
+
+    @property
+    def s_shift(self) -> int:
+        return self.d_shift + self.d_bits
+
+    @property
+    def q_shift(self) -> int:
+        return self.s_shift + self.s_bits
+
+    @property
+    def q_bits(self) -> int:
+        return 32 - self.q_shift
+
+    @property
+    def max_nq(self) -> int:
+        return 1 << self.q_bits
+
+    @property
+    def opf_mask(self) -> int:
+        return (1 << self.opf_bits) - 1
+
+    @property
+    def err_mask(self) -> int:
+        return (1 << self.err_bits) - 1
+
+    @property
+    def d_mask(self) -> int:
+        return (1 << self.d_bits) - 1
+
+    @property
+    def s_mask(self) -> int:
+        return (1 << self.s_bits) - 1
+
+    @property
+    def q_mask(self) -> int:
+        return (1 << self.q_bits) - 1
+
+    @property
+    def key_mask(self) -> int:
+        # d | s | q: cursor identity minus op/err — int32 wraparound form
+        m = ~((1 << self.d_shift) - 1)
+        return m & 0xFFFFFFFF
+
+
+def meta_layout(m: int, ns: int, k: int, edit: bool) -> MetaLayout:
+    return MetaLayout(
+        opf_bits=4 if edit else 0,
+        err_bits=max(int(k).bit_length(), 1),
+        d_bits=int(m).bit_length(),  # d reaches m
+        s_bits=max(int(ns - 1).bit_length(), 1) if ns > 1 else 0,
+    )
+
+
+def max_chunk_queries(m: int, ns: int, k: int, edit: bool) -> int:
+    """Largest per-call query count the meta packing supports."""
+    return min(meta_layout(m, ns, k, edit).max_nq, 1 << 17)
 
 
 @dataclasses.dataclass
@@ -92,13 +165,16 @@ def _positions(flags: jax.Array, tri: jax.Array) -> tuple[jax.Array, jax.Array]:
     rows = n // _BLK
     f = flags.reshape(rows, _BLK).astype(jnp.float32)
     incl = jnp.dot(f, tri, preferred_element_type=jnp.float32)  # inclusive
-    # block-local values are <= 512 (exact in f32); the cross-block offsets
-    # can exceed 2^24 for large queues, so accumulate those in int32
-    row_tot = incl[:, -1].astype(jnp.int32)
+    # The whole prefix sum stays in f32: every value is bounded by the
+    # number of SET flags (= live states <= queue capacity < 2^23), far
+    # inside f32's exact-integer range — guarded in workq_search.  Integer
+    # cumsums must NOT be used here: int32 cumsum lowers to a serialized
+    # loop on this TPU backend (measured ~250x slowdown of the whole step).
+    row_tot = incl[:, -1]
     row_off = jnp.cumsum(row_tot) - row_tot
-    pos = (incl - f).astype(jnp.int32).reshape(rows, _BLK) + row_off[:, None]
-    total = row_off[-1] + row_tot[-1]
-    return pos.reshape(-1), total
+    pos = (incl - f + row_off[:, None]).astype(jnp.int32).reshape(-1)
+    total = (row_off[-1] + row_tot[-1]).astype(jnp.int32)
+    return pos, total
 
 
 def _pack_lane_tape(
@@ -177,8 +253,12 @@ def workq_search(
     nq = queries.shape[0]
     sigma = index.sigma
     b = nq * ns
-    if nq > MAX_NQ or ns > MAX_NS or m > MAX_M or k > MAX_ERR or sigma > 8:
-        raise ValueError("workq meta packing limits exceeded (nq<=8192, ns<=8, m<=511, k<=7, sigma<=8)")
+    L = meta_layout(m, ns, k, edit)
+    if nq > L.max_nq or ns > MAX_NS or m > MAX_M or k > MAX_ERR or sigma > 8:
+        raise ValueError(
+            f"workq meta packing limits exceeded (nq<={L.max_nq} for this workload, "
+            "ns<=8, m<=511, k<=7, sigma<=8)"
+        )
     if index.rev_rows == 0:
         raise ValueError("scheme search requires a bidirectional index")
     main_steps, tail_steps = main_tail_steps(m, ph0, k, edit)
@@ -186,7 +266,9 @@ def workq_search(
         raise ValueError(f"plan steps {plan} do not sum to main_steps={main_steps}")
     for _, c in plan:
         assert c % _BLK == 0 and (c & (c - 1)) == 0, "segment caps must be pow2 multiples of 512"
+        assert c <= 2**23, "queue capacity beyond f32 exact-prefix-sum range"
     assert tail_cap % _BLK == 0 and (tail_cap & (tail_cap - 1)) == 0
+    assert tail_cap <= 2**23 and hq_cap <= 2**23
     assert hq_cap % _BLK == 0
 
     occ, c_arr, rev_rows = index.occ, index.c_arr, index.rev_rows
@@ -249,7 +331,7 @@ def workq_search(
     sdest = jnp.where(seed_alive, spos, cap0)
     sel0 = jnp.zeros(cap0, dtype=jnp.int32).at[sdest].set(jnp.arange(b_pad, dtype=jnp.int32), mode="drop")
     live0 = jnp.arange(cap0, dtype=jnp.int32) < jnp.minimum(seed_total, cap0)
-    meta0 = (jnp.int32(ph0) << _D_SHIFT) | (s_id0 << _S_SHIFT) | (q_id0 << _Q_SHIFT)
+    meta0 = (jnp.int32(ph0) << L.d_shift) | (s_id0 << L.s_shift) | (q_id0 << L.q_shift)
     # per-column gathers (see the drain note: stacked-matrix row gathers
     # miscompiled on the axon backend)
     sel0c = jnp.minimum(sel0, b - 1)
@@ -268,11 +350,11 @@ def workq_search(
         def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts):
             """One generic step: dedup -> drain -> candidates -> compaction."""
             q_lb, q_lbr, q_sz, meta = state
-            opf = meta & _OPF_MASK
-            err = (meta >> _ERR_SHIFT) & _ERR_MASK
-            d = (meta >> _D_SHIFT) & _D_MASK
-            s_id = (meta >> _S_SHIFT) & _S_MASK
-            q_id = (meta >> _Q_SHIFT) & _Q_MASK
+            opf = meta & L.opf_mask
+            err = (meta >> L.err_shift) & L.err_mask
+            d = (meta >> L.d_shift) & L.d_mask
+            s_id = (meta >> L.s_shift) & L.s_mask if ns > 1 else jnp.zeros_like(meta)
+            q_id = (meta >> L.q_shift) & L.q_mask
             alive = q_sz > 0
             lane = q_id * ns + s_id
             row_ids = jnp.arange(cap, dtype=jnp.int32)
@@ -301,21 +383,22 @@ def workq_search(
                     q_lb * jnp.int32(0x9E3779B1 - (1 << 32))
                     ^ q_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
                     ^ q_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
-                    ^ (meta & _META_KEY_MASK) * jnp.int32(0x27D4EB2F)
+                    ^ (meta & jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)) * jnp.int32(0x27D4EB2F)
                 ) & (cap - 1)
                 bad = ((opf & 3) != 0).astype(jnp.int32) + ((opf >> 2) & 1) + ((opf >> 3) & 1)
                 packed_pri = (err << (cb + 2)) | (jnp.minimum(bad, 3) << cb) | row_ids
                 packed_pri = jnp.where(alive, packed_pri, _I32_MAX)
                 table = jnp.full(cap, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
                 win = jnp.take(table, hsh) & (cap - 1)
+                keym = jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)
                 w_meta = jnp.take(meta, win)
-                w_opf = w_meta & _OPF_MASK
-                w_err = (w_meta >> _ERR_SHIFT) & _ERR_MASK
+                w_opf = w_meta & L.opf_mask
+                w_err = (w_meta >> L.err_shift) & L.err_mask
                 same = (
                     (jnp.take(q_lb, win) == q_lb)
                     & (jnp.take(q_lbr, win) == q_lbr)
                     & (jnp.take(q_sz, win) == q_sz)
-                    & (((w_meta ^ meta) & _META_KEY_MASK) == 0)
+                    & (((w_meta ^ meta) & keym) == 0)
                 )
                 err_dom = (w_err == err) | ((w_err < err) & (maxlo <= w_err))
                 edge_dom = (w_opf & _EDGES & ~opf) == 0  # winner edges subset
@@ -430,10 +513,11 @@ def workq_search(
             g_cnt = jnp.take(f_cnt, pidx)
             g_newp = jnp.take(f_newp, pidx)
             g_news = jnp.take(f_news, pidx)
-            p_opf = p_meta & _OPF_MASK
-            p_err = (p_meta >> _ERR_SHIFT) & _ERR_MASK
-            p_d = (p_meta >> _D_SHIFT) & _D_MASK
-            p_rest = p_meta & ~jnp.int32(_OPF_MASK | (_ERR_MASK << _ERR_SHIFT) | (_D_MASK << _D_SHIFT))
+            p_opf = p_meta & L.opf_mask
+            p_err = (p_meta >> L.err_shift) & L.err_mask
+            p_d = (p_meta >> L.d_shift) & L.d_mask
+            rest_mask = (L.s_mask << L.s_shift) | (L.q_mask << L.q_shift)
+            p_rest = p_meta & jnp.int32(rest_mask - (1 << 32) if rest_mask >= 2**31 else rest_mask)
             p_side = jnp.take(side, parent)
             p_qc = jnp.take(qc, parent)
 
@@ -459,7 +543,7 @@ def workq_search(
                 new_op = jnp.zeros_like(p_opf)
 
             new_sz = jnp.where(live, new_sz, 0)
-            new_meta = new_op | (new_err << _ERR_SHIFT) | (new_d << _D_SHIFT) | p_rest
+            new_meta = new_op | (new_err << L.err_shift) | (new_d << L.d_shift) | p_rest
             new_meta = jnp.where(live, new_meta, 0)
 
             new_state = (new_lb, new_lbr, new_sz, new_meta)
@@ -550,11 +634,75 @@ def phase0_length(tape: SchemeTape, edit: bool) -> int:
 # elementwise-max per-step live profile observed so far.  Retries are
 # expensive (a full extra search run + possibly a compile), so later calls
 # start from capacities/plans that worked; the profile only grows, so the
-# derived segment plan converges and stays compile-stable.
+# derived segment plan converges and stays compile-stable.  Persisted to
+# disk (best effort) so fresh processes skip the expensive flat-capacity
+# warm pass and jump straight to the profiled segment plan whose
+# executable sits in the persistent compile cache.
 _CAP_MEMORY: dict[tuple, dict] = {}
+_CAP_MEMORY_LOADED = False
 
 _MAX_SEGS = 4
-_PLAN_MARGIN = 1.5
+# pow2 cap quantization already supplies ~1.5x average headroom; a thin
+# extra margin keeps segment caps tight (halving a cap halves every
+# per-row cost of its steps) — the overflow retry path is the backstop
+_PLAN_MARGIN = 1.1
+
+
+def _capmem_path() -> str:
+    import os
+
+    return os.environ.get(
+        "SAHARA_CAPMEM_PATH",
+        os.path.join(os.path.expanduser("~"), ".cache", "sahara_tpu", "capmem.json"),
+    )
+
+
+def _capmem_load() -> None:
+    global _CAP_MEMORY_LOADED
+    if _CAP_MEMORY_LOADED:
+        return
+    _CAP_MEMORY_LOADED = True
+    import json
+    import os
+
+    try:
+        with open(_capmem_path()) as fh:
+            raw = json.load(fh)
+        for k, v in raw.items():
+            key = tuple(json.loads(k))
+            if key in _CAP_MEMORY:
+                continue
+            _CAP_MEMORY[key] = {
+                "q_cap": v["q_cap"],
+                "hq_cap": v["hq_cap"],
+                "profile": np.asarray(v["profile"], dtype=np.int64) if v.get("profile") else None,
+                "plan": (tuple(tuple(p) for p in v["plan"][0]), v["plan"][1]) if v.get("plan") else None,
+            }
+    except (OSError, ValueError, KeyError):
+        pass
+
+
+def _capmem_save() -> None:
+    import json
+    import os
+
+    try:
+        path = _capmem_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        raw = {}
+        for k, v in _CAP_MEMORY.items():
+            raw[json.dumps(list(k))] = {
+                "q_cap": int(v["q_cap"]),
+                "hq_cap": int(v["hq_cap"]),
+                "profile": [int(x) for x in v["profile"]] if v.get("profile") is not None else None,
+                "plan": [[list(p) for p in v["plan"][0]], int(v["plan"][1])] if v.get("plan") else None,
+            }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(raw, fh)
+        os.replace(tmp, path)
+    except OSError:
+        pass
 
 
 def _pow2_cap(x: int) -> int:
@@ -639,6 +787,7 @@ def run_workq_search(
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
     # ph0 is part of the key: it sets main/tail step counts, so profiles
     # from tapes with a different exact-prefix length are not interchangeable
+    _capmem_load()
     cap_key = (nq, ns, m, k, ph0, edit, dedup, cap_per_query, int(index.n))
     mem = _CAP_MEMORY.get(cap_key)
     use_profile = mem is not None and mem.get("profile") is not None
@@ -657,9 +806,20 @@ def run_workq_search(
             if old_plan is not None:
                 (op, otc), (np_, ntc) = old_plan, (plan, tail_cap)
                 old_cost = sum(s * c for s, c in op) + tail_steps * otc
+
+                def _percap(pl, tc):
+                    out = []
+                    for s, c in pl:
+                        out += [c] * s
+                    return out + [tc] * tail_steps
+
+                oc_steps, nc_steps = _percap(op, otc), _percap(np_, ntc)
                 new_cost = sum(s * c for s, c in np_) + tail_steps * ntc
-                fits = otc >= ntc and len(op) == len(np_) and all(
-                    oc >= nc and os_ == ns_ for (os_, oc), (ns_, nc) in zip(op, np_)
+                # the old compiled plan still fits if it has at least the
+                # new plan's capacity at every step (segment boundaries may
+                # jitter run to run — that must not force a recompile)
+                fits = len(oc_steps) == len(nc_steps) and all(
+                    o >= n for o, n in zip(oc_steps, nc_steps)
                 )
                 if fits and new_cost >= 0.7 * old_cost:
                     plan, tail_cap = op, otc
@@ -695,6 +855,7 @@ def run_workq_search(
                 "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
                 "plan": old.get("plan") if old else None,
             }
+            _capmem_save()
             n = n_hits
             return FlatHits(
                 lane=packed[:n],
