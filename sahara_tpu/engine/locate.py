@@ -34,7 +34,9 @@ def expand_intervals(lb: jax.Array, ln: jax.Array, cap_rows: int):
     each row came from, valid bool[cap_rows], total int32 scalar).  Rows
     beyond ``cap_rows`` are dropped (caller checks ``total`` for overflow).
     """
-    ends = jnp.cumsum(ln)
+    # f32 cumsum: int32 cumsum lowers to a serialized loop on this TPU
+    # backend (see workq._positions); exact for totals < 2^24
+    ends = jnp.cumsum(ln.astype(jnp.float32)).astype(jnp.int32)
     total = ends[-1] if ln.size else jnp.int32(0)
     out_idx = jnp.arange(cap_rows, dtype=jnp.int32)
     src = jnp.searchsorted(ends, out_idx, side="right").astype(jnp.int32)
@@ -100,14 +102,34 @@ def locate_packed(index: DeviceIndex, lb: jax.Array, ln: jax.Array, cap_rows: in
     return jnp.concatenate([src, jnp.where(valid, seq_id, -1), pos, tail])
 
 
+@partial(jax.jit, static_argnames=())
+def lf_walk_packed(index: DeviceIndex, rows: jax.Array, valid: jax.Array):
+    """LF-walk only, ONE packed output [2*n]: seq_id | pos (invalid rows
+    seq_id = -1)."""
+    seq_id, pos = lf_walk(index, jnp.where(valid, rows, 0), valid)
+    return jnp.concatenate([seq_id, pos])
+
+
 def locate_rows_host(index: DeviceIndex, lb, ln, cap_rows: int):
-    """Host helper: run locate_packed and unpack to numpy
+    """Host helper: expand the ragged intervals with numpy (the ragged
+    cumsum/searchsorted is pathological on the TPU backend and trivial on
+    host), LF-walk the dense rows on device, return numpy
     (src, seq_id, pos) filtered to valid rows."""
     import numpy as np
 
-    packed = np.asarray(locate_packed(index, jnp.asarray(lb), jnp.asarray(ln), cap_rows))
-    src = packed[:cap_rows]
-    seq_id = packed[cap_rows : 2 * cap_rows]
-    pos = packed[2 * cap_rows : 3 * cap_rows]
-    valid = seq_id >= 0
-    return src[valid], seq_id[valid], pos[valid]
+    lb = np.asarray(lb, dtype=np.int64)
+    ln = np.asarray(ln, dtype=np.int64)
+    total = int(ln.sum())
+    n = min(total, cap_rows)
+    src = np.repeat(np.arange(len(ln), dtype=np.int32), ln)[:n]
+    excl = np.concatenate([[0], np.cumsum(ln)[:-1]])
+    offsets = np.arange(total, dtype=np.int64)[:n] - np.repeat(excl, ln)[:n]
+    rows = (lb[src] + offsets).astype(np.int32)
+    rows_pad = np.zeros(cap_rows, dtype=np.int32)
+    rows_pad[:n] = rows
+    valid = np.zeros(cap_rows, dtype=bool)
+    valid[:n] = True
+    packed = np.asarray(lf_walk_packed(index, jnp.asarray(rows_pad), jnp.asarray(valid)))
+    seq_id = packed[:cap_rows][:n]
+    pos = packed[cap_rows:][:n]
+    return src, seq_id, pos
