@@ -790,6 +790,25 @@ def run_workq_search(
     _capmem_load()
     cap_key = (nq, ns, m, k, ph0, edit, dedup, cap_per_query, int(index.n))
     mem = _CAP_MEMORY.get(cap_key)
+    if mem is None:
+        # bootstrap from a sibling workload that differs only in query
+        # count: live states scale ~linearly with nq, so a scaled profile
+        # skips the expensive (and at large nq, fragile) flat-capacity
+        # first pass; the overflow retry path backstops underestimates
+        sib_best = None
+        for sk, sv in _CAP_MEMORY.items():
+            if len(sk) == len(cap_key) and sk[1:] == cap_key[1:] and sv.get("profile") is not None:
+                if sib_best is None or sk[0] > sib_best[0]:
+                    sib_best = (sk[0], sv)
+        if sib_best is not None:
+            scale = nq / sib_best[0] * 1.25
+            mem = {
+                "q_cap": _pow2_cap(int(sib_best[1]["q_cap"] * scale)),
+                "hq_cap": _pow2_cap(int(sib_best[1]["hq_cap"] * scale)),
+                "profile": np.ceil(sib_best[1]["profile"] * scale).astype(np.int64),
+                "plan": None,
+            }
+            _CAP_MEMORY[cap_key] = mem
     use_profile = mem is not None and mem.get("profile") is not None
     if mem is None:
         q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult)
