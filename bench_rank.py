@@ -17,13 +17,18 @@ REF_MB = float(os.environ.get("SAHARA_RANK_REF_MB", 4.6))  # E. coli scale
 REPS = 20
 
 
-def timeit(fn, *args):
+def timeit(fn, *args, rounds=3):
+    """Best-of-rounds mean: the tunneled backend has large run-to-run
+    variance, so interleaved best-of is the stable comparator."""
     fn(*args).block_until_ready()  # compile
-    t0 = time.monotonic()
-    for _ in range(REPS):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.monotonic() - t0) / REPS
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.monotonic()
+        for _ in range(REPS):
+            out = fn(*args)
+        out.block_until_ready()
+        best = min(best, (time.monotonic() - t0) / REPS)
+    return best
 
 
 def main():

@@ -56,25 +56,35 @@ def pack_occ16(occ) -> jax.Array:
     return jnp.asarray(out.reshape(w_pad // _ROWS_PER_VEC, _ROWS_PER_VEC * _ROW16))
 
 
-def _rank_kernel(idx_ref, occ_ref, out_ref, scratch_ref, *, sigma: int):
-    """One grid step: rank-all for a block of _BLOCK positions."""
+def _rank_kernel(idx_smem_ref, idx_vmem_ref, occ_ref, out_ref, scratch_ref, *, sigma: int):
+    """One grid step: rank-all for a block of _BLOCK positions.
+
+    Indices arrive twice: the full array in SMEM (scalar-addressable, feeds
+    the dynamic occ-row loads) and the step's block in VMEM (vector math).
+    SMEM refs only support scalar loads on Mosaic, hence the split."""
     blk = pl.program_id(0)
 
     def load(c, _):
-        word = idx_ref[blk * _BLOCK + c] >> 5  # occ row of position idx[c]
+        word = idx_smem_ref[blk * _BLOCK + c] >> 5  # occ row of position idx[c]
         scratch_ref[c, :] = occ_ref[pl.ds(word >> 3, 1), :][0]
         return 0
 
-    lax.fori_loop(0, _BLOCK, load, 0, unroll=8)
+    # full unroll (the only option besides 1 Mosaic lowers) lets the
+    # compiler software-pipeline the 512 row copies
+    lax.fori_loop(0, _BLOCK, load, 0, unroll=_BLOCK)
 
-    idx = idx_ref[pl.ds(blk * _BLOCK, _BLOCK)].reshape(_BLOCK, 1)
+    idx = idx_vmem_ref[pl.ds(blk, 1), :].reshape(_BLOCK, 1)
     word = idx >> 5
     group = word & (_ROWS_PER_VEC - 1)  # which 16-lane row inside the vector
-    rows = scratch_ref[:, :].reshape(_BLOCK, _ROWS_PER_VEC, _ROW16)
-    onehot = (
-        lax.broadcasted_iota(jnp.int32, (_BLOCK, _ROWS_PER_VEC), 1) == group
-    ).astype(jnp.int32)
-    row16 = jnp.sum(rows * onehot[:, :, None], axis=1)  # [_BLOCK, 16]
+    # select the group's 16 lanes without a 3D reshape (Mosaic can't lower
+    # (B,128)->(B,8,16)): zero all other groups, then fold the 8 static
+    # 16-lane slices together
+    rows = scratch_ref[:, :]  # [_BLOCK, 128]
+    lane_grp = lax.broadcasted_iota(jnp.int32, (_BLOCK, _ROWS_PER_VEC * _ROW16), 1) >> 4
+    masked = jnp.where(lane_grp == group, rows, 0)
+    row16 = masked[:, :_ROW16]
+    for g in range(1, _ROWS_PER_VEC):
+        row16 = row16 + masked[:, g * _ROW16 : (g + 1) * _ROW16]
 
     ckpt = row16[:, :sigma]
     bits = pltpu.bitcast(row16[:, sigma : 2 * sigma], jnp.uint32)
@@ -84,29 +94,49 @@ def _rank_kernel(idx_ref, occ_ref, out_ref, scratch_ref, *, sigma: int):
     out_ref[:, :] = ckpt + pltpu.bitcast(cnt, jnp.int32)
 
 
+_MAX_CALL = 1 << 16  # idx lives in SMEM (1MB total on v5e): 64K ints = 256KB
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
 def rank_all_vmem(occ16: jax.Array, sigma: int, idx: jax.Array, *, interpret: bool = False) -> jax.Array:
     """rank-all for positions ``idx`` against a VMEM-resident folded occ
     table (from :func:`pack_occ16`).  Returns int32[n, sigma]; ``idx`` is
-    padded to a _BLOCK multiple internally."""
+    padded to a _BLOCK multiple internally and processed in <=64K-index
+    calls (the index block is scalar-addressed from SMEM, capacity 1MB)."""
+    n = idx.shape[0]
+    if n > _MAX_CALL:
+        n_pad = -(-n // _MAX_CALL) * _MAX_CALL
+        if n_pad != n:
+            idx = jnp.concatenate([idx, jnp.zeros(n_pad - n, dtype=jnp.int32)])
+        parts = [
+            _rank_call(occ16, sigma, idx[o : o + _MAX_CALL], interpret)
+            for o in range(0, n_pad, _MAX_CALL)
+        ]
+        return jnp.concatenate(parts)[:n]
+    return _rank_call(occ16, sigma, idx, interpret)[:n]
+
+
+def _rank_call(occ16: jax.Array, sigma: int, idx: jax.Array, interpret: bool) -> jax.Array:
     n = idx.shape[0]
     n_pad = -(-n // _BLOCK) * _BLOCK
     if n_pad != n:
         idx = jnp.concatenate([idx, jnp.zeros(n_pad - n, dtype=jnp.int32)])
     grid = n_pad // _BLOCK
+    idx2d = idx.reshape(grid, _BLOCK)
     out = pl.pallas_call(
         functools.partial(_rank_kernel, sigma=sigma),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # all indices, scalar-addressable
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # idx as [grid, _BLOCK] rows
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole folded occ table
         ],
         out_specs=pl.BlockSpec((_BLOCK, sigma), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, sigma), jnp.int32),
         scratch_shapes=[pltpu.VMEM((_BLOCK, _ROWS_PER_VEC * _ROW16), jnp.int32)],
         interpret=interpret,
-    )(idx, occ16)
-    return out[:n]
+    )(idx, idx2d, occ16)
+    return out
 
 
 def occ16_vmem_bytes(w_rows: int) -> int:
