@@ -286,7 +286,12 @@ def workq_search(
     q_id0 = lanes // ns
     lane_active = jnp.take(active, q_id0)
 
-    n_ms = sigma - 1
+    # branch enumeration runs over the symbols actually present in the text
+    # (sigma_live <= sigma): a symbol with zero occurrences always yields
+    # cnt == 0, so dropping its match/sub and del branch columns is
+    # hit-set-identical while shrinking the candidate scatter + flag math.
+    sl = max(min(index.sigma_live or sigma, sigma), 2)
+    n_ms = sl - 1
 
     def fused_rank(primary, sz, word_off):
         """One gather for both interval edges: rank-all rows at primary and
@@ -481,12 +486,12 @@ def workq_search(
             primary = jnp.where(side == 1, q_lbr, q_lb)
             secondary = jnp.where(side == 1, q_lb, q_lbr)
             r_lo, r_hi = fused_rank(primary, q_sz, side * rev_rows)
-            cnt = r_hi - r_lo
+            cnt = (r_hi - r_lo)[:, :sl]
             prefix = jnp.cumsum(cnt, axis=-1) - cnt
-            newp = c_arr[None, :sigma] + r_lo
+            newp = c_arr[None, :sl] + r_lo[:, :sl]
             news = secondary[:, None] + prefix
             if packed:
-                # rank products as one [cap*sigma, 3] matrix: one row
+                # rank products as one [cap*sl, 3] matrix: one row
                 # gather at pidx instead of three flat takes
                 P3 = lax.optimization_barrier(
                     jnp.stack([cnt.reshape(-1), newp.reshape(-1), news.reshape(-1)], axis=1)
@@ -497,7 +502,7 @@ def workq_search(
                 f_news = lax.optimization_barrier(news.reshape(-1))
 
             # ---- candidate flags [cap, e_used] --------------------------
-            syms = jnp.arange(1, sigma, dtype=jnp.int32)[None, :]
+            syms = jnp.arange(1, sl, dtype=jnp.int32)[None, :]
             e_ms = err[:, None] + (qc[:, None] != syms)
             ok_ms = (
                 alive[:, None]
@@ -550,10 +555,10 @@ def workq_search(
             is_del = (branch >= n_ms) & (branch < 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
             is_ins = (branch >= 2 * n_ms) if edit else jnp.zeros_like(branch, dtype=bool)
             sym = jnp.where(branch < n_ms, branch + 1, branch - n_ms + 1)
-            sym = jnp.clip(sym, 1, sigma - 1)
+            sym = jnp.clip(sym, 1, sl - 1)
 
             # ---- survivor fields ----------------------------------------
-            pidx = parent * sigma + sym
+            pidx = parent * sl + sym
             if packed:
                 P = jnp.take(S5, parent, axis=0)
                 p_lb, p_lbr, p_sz, p_meta, p_word = (
