@@ -188,8 +188,8 @@ def scheme_search(
         primary = jnp.where(side == 1, lbr, lb)
         secondary = jnp.where(side == 1, lb, lbr)
         word_off = side * rev_rows
-        r_lo = rank_all_offset(occ, sigma, primary, word_off)  # [B, S, sigma]
-        r_hi = rank_all_offset(occ, sigma, primary + sz, word_off)
+        r_lo = rank_all_offset(occ, sigma, primary, word_off, index.fold)  # [B, S, sigma]
+        r_hi = rank_all_offset(occ, sigma, primary + sz, word_off, index.fold)
         cnt = r_hi - r_lo
         prefix = jnp.cumsum(cnt, axis=-1) - cnt  # exclusive prefix over symbols
         new_primary = c_arr[None, None, :sigma] + r_lo

@@ -20,15 +20,18 @@ from sahara_tpu.index.fmindex import BiFMIndex, FMIndex
 @dataclasses.dataclass(frozen=True)
 class DeviceIndex:
     """Index arrays in HBM.  ``occ`` is the forward occ table with the
-    reversed-text occ table stacked below it for bidirectional indexes
-    (int32[W or 2W, 2*sigma]); ``rev_rows`` = W (the word-row offset of the
-    reversed table) or 0 for unidirectional indexes.  The stacking lets the
-    scheme stepper pick the extension direction per state with plain index
+    reversed-text occ table stacked below it for bidirectional indexes;
+    both tables are stored in the *folded* wide-row layout
+    (int32[ceil(W/fold) (+ same for rev), 2*sigma*fold] — see
+    engine.rank.fold_occ_rows for why).  ``rev_rows`` = the padded word
+    count of the forward table (the word offset where the reversed table
+    starts), 0 for unidirectional indexes.  The stacking lets the scheme
+    stepper pick the extension direction per state with plain index
     arithmetic — one gather stream regardless of direction mix."""
 
-    occ: jax.Array  # int32[W or 2W, 2*sigma]
+    occ: jax.Array  # int32[Wf or 2*Wf, 2*sigma*fold]
     c_arr: jax.Array  # int32[sigma+1]
-    sampled: jax.Array  # int32[W, 2]
+    sampled: jax.Array  # int32[ceil(W/fold_s), 2*fold_s]
     sample_seq: jax.Array  # int32[S]
     sample_pos: jax.Array  # int32[S]
     sigma: int = dataclasses.field(metadata=dict(static=True))
@@ -41,6 +44,9 @@ class DeviceIndex:
     # symbol with zero occurrences can never extend), shrinking the candidate
     # scatter and flag math by ~18% with bit-identical hit sets.
     sigma_live: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # words per folded occ row / sampled row (1 = planar legacy layout)
+    fold: int = dataclasses.field(default=1, metadata=dict(static=True))
+    fold_s: int = dataclasses.field(default=1, metadata=dict(static=True))
 
     @property
     def bidirectional(self) -> bool:
@@ -61,12 +67,26 @@ class DeviceIndex:
                 return jax.device_put(x, sharding)
             return jax.device_put(x, device)
 
+        from sahara_tpu.engine.rank import fold_occ_rows, pick_fold
+
+        fold = pick_fold(index.sigma)
+        w = index.occ.shape[0]
+        wp = -(-w // fold) * fold  # padded word count (shared fwd/rev offset)
         if isinstance(index, BiFMIndex):
-            occ = put(np.concatenate([np.asarray(index.occ), np.asarray(index.occ_rev)], axis=0))
-            rev_rows = index.occ.shape[0]
+            occ = put(
+                np.concatenate(
+                    [
+                        fold_occ_rows(index.occ, fold, wp),
+                        fold_occ_rows(index.occ_rev, fold, wp),
+                    ],
+                    axis=0,
+                )
+            )
+            rev_rows = wp
         else:
-            occ = put(np.asarray(index.occ))
+            occ = put(fold_occ_rows(index.occ, fold, wp))
             rev_rows = 0
+        fold_s = 64  # sampled rows are [W, 2] -> 128-lane folded rows
         # symbol counts from the C-array: count(s) = C[s+1] - C[s]
         c_host = np.asarray(index.c_arr, dtype=np.int64)
         counts = np.diff(np.append(c_host[: index.sigma], index.n))
@@ -75,7 +95,7 @@ class DeviceIndex:
         return DeviceIndex(
             occ=occ,
             c_arr=put(np.asarray(index.c_arr, dtype=np.int32)),
-            sampled=put(np.asarray(index.sampled)),
+            sampled=put(fold_occ_rows(index.sampled, fold_s)),
             sample_seq=put(np.asarray(index.sample_seq)),
             sample_pos=put(np.asarray(index.sample_pos)),
             sigma=int(index.sigma),
@@ -83,6 +103,8 @@ class DeviceIndex:
             n=int(index.n),
             rev_rows=rev_rows,
             sigma_live=min(sigma_live, int(index.sigma)),
+            fold=fold,
+            fold_s=fold_s,
         )
 
 

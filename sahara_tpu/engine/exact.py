@@ -37,8 +37,8 @@ def exact_search(index: DeviceIndex, queries: jax.Array, qlens: jax.Array):
         ch_idx = qlens - 1 - j
         active = ch_idx >= 0
         ch = jnp.take_along_axis(queries, jnp.clip(ch_idx, 0, L - 1)[:, None], axis=1)[:, 0]
-        r1 = rank_all(occ, sigma, lb)
-        r2 = rank_all(occ, sigma, rb)
+        r1 = rank_all(occ, sigma, lb, index.fold)
+        r2 = rank_all(occ, sigma, rb, index.fold)
         base = jnp.take(c_arr, ch)
         lb2 = base + jnp.take_along_axis(r1, ch[:, None], axis=1)[:, 0]
         rb2 = base + jnp.take_along_axis(r2, ch[:, None], axis=1)[:, 0]

@@ -57,8 +57,8 @@ def lf_walk(index: DeviceIndex, rows: jax.Array, valid: jax.Array):
 
     def body(_, state):
         row, steps = state
-        done = sampled_bit(index.sampled, row) == 1
-        r = occ_row(occ, row)
+        done = sampled_bit(index.sampled, row, index.fold_s) == 1
+        r = occ_row(occ, row, index.fold, sigma)
         c = symbol_from_row(r, sigma, row)
         ranks = rank_all_from_row(r, sigma, row)
         rank_c = jnp.take_along_axis(ranks, c[..., None], axis=-1)[..., 0]
@@ -70,7 +70,7 @@ def lf_walk(index: DeviceIndex, rows: jax.Array, valid: jax.Array):
     steps0 = jnp.zeros_like(rows)
     # <= rate-1 steps by construction; fixed trip count keeps shapes static
     row, steps = lax.fori_loop(0, index.rate, body, (rows, steps0))
-    slot = sampled_rank(index.sampled, row)
+    slot = sampled_rank(index.sampled, row, index.fold_s)
     slot = jnp.clip(slot, 0, index.sample_seq.shape[0] - 1)
     seq_id = jnp.take(index.sample_seq, slot)
     pos = jnp.take(index.sample_pos, slot) + steps

@@ -52,7 +52,7 @@ import numpy as np
 from jax import lax
 
 from sahara_tpu.engine.device import DeviceIndex
-from sahara_tpu.engine.rank import rank_all_from_row
+from sahara_tpu.engine.rank import occ_row_word, rank_all_from_row
 from sahara_tpu.engine.tape import SchemeTape
 
 OP_MATCH, OP_INS, OP_DEL = 0, 1, 2
@@ -302,7 +302,7 @@ def workq_search(
         n = primary.shape[0]
         pos = jnp.concatenate([primary, primary + sz])
         woff = jnp.concatenate([word_off, word_off])
-        rows = jnp.take(occ, (pos >> 5) + woff, axis=0)
+        rows = occ_row_word(occ, (pos >> 5) + woff, index.fold, 2 * sigma)
         ranks = rank_all_from_row(rows, sigma, pos)
         ranks = lax.optimization_barrier(ranks)
         return ranks[:n], ranks[n:]
@@ -706,7 +706,7 @@ def phase0_length(tape: SchemeTape, edit: bool) -> int:
 _CAP_MEMORY: dict[tuple, dict] = {}
 _CAP_MEMORY_LOADED = False
 
-_MAX_SEGS = 4
+_MAX_SEGS = 8
 # segment caps are quantized to 1/8-octave steps (see _quant_cap), so this
 # margin is most of the headroom; the profile is an elementwise max over
 # all observed chunks (only grows) and the overflow retry is the backstop

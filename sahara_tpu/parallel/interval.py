@@ -39,18 +39,26 @@ def stack_shards(sh: ShardedIndex, mesh) -> tuple[DeviceIndex, jax.Array, int]:
 
     Returns (stacked DeviceIndex with leading shard axis, n per shard,
     padded shard count)."""
+    from sahara_tpu.engine.rank import fold_occ_rows, pick_fold
+
     n_dev = mesh.devices.size
     if sh.num_shards > n_dev:
         raise ValueError(f"{sh.num_shards} shards > {n_dev} devices; use the sequential driver")
     w_max = max(s.occ.shape[0] for s in sh.shards)
     s_max = max(len(s.sample_seq) for s in sh.shards)
     sigma = sh.sigma
+    fold = pick_fold(sigma)
+    fold_s = 64
+    wp = -(-w_max // fold) * fold  # shared padded word count -> static rev offset
+    wp_s = -(-w_max // fold_s) * fold_s
     occ, sampled, sseq, spos, c_arr, ns_arr = [], [], [], [], [], []
     for s in sh.shards:
-        # forward table padded to w_max, reversed table stacked below at the
-        # STATIC offset w_max so rev_rows is shard-independent
-        occ.append(np.concatenate([_pad2(np.asarray(s.occ), w_max), _pad2(np.asarray(s.occ_rev), w_max)]))
-        sampled.append(_pad2(np.asarray(s.sampled), w_max))
+        # forward table padded to wp words, reversed table stacked below at
+        # the STATIC folded offset so rev_rows is shard-independent
+        occ.append(
+            np.concatenate([fold_occ_rows(s.occ, fold, wp), fold_occ_rows(s.occ_rev, fold, wp)])
+        )
+        sampled.append(fold_occ_rows(s.sampled, fold_s, wp_s))
         sseq.append(_pad2(np.asarray(s.sample_seq), s_max))
         spos.append(_pad2(np.asarray(s.sample_pos), s_max))
         c_arr.append(np.asarray(s.c_arr))
@@ -73,7 +81,9 @@ def stack_shards(sh: ShardedIndex, mesh) -> tuple[DeviceIndex, jax.Array, int]:
         sigma=sigma,
         rate=sh.shards[0].rate,
         n=max(ns_arr),
-        rev_rows=w_max,
+        rev_rows=wp,
+        fold=fold,
+        fold_s=fold_s,
     )
     n_per = jax.device_put(np.asarray(ns_arr, dtype=np.int32).reshape(n_dev, 1), shard_sp)
     return dev, n_per, n_dev
