@@ -268,19 +268,28 @@ def search_queries_sharded(
 
 
 def _merge_results(results: list[SearchResult]) -> SearchResult:
+    """Merge partial results into the canonical output: unique
+    (queryId, seqId, pos) rows sorted lexicographically, keeping the
+    minimal error count per position.
+
+    Output is a hit *set* (CONFORMANCE.md §3 item 1): duplicate rows from
+    overlapping scheme searches, tape groups, or enumeration paths are an
+    engine artifact (the reference's own multiplicity is an artifact of
+    its DFS), so they are dropped here once, centrally — engine-level
+    state merging (workq dedup) then only affects speed, never output."""
     if not results:
         z = np.zeros(0, dtype=np.int64)
         return SearchResult(z, z, z, z)
-    merged = SearchResult(
-        query_id=np.concatenate([r.query_id for r in results]),
-        seq_id=np.concatenate([r.seq_id for r in results]),
-        pos=np.concatenate([r.pos for r in results]),
-        errors=np.concatenate([r.errors for r in results]),
-    )
-    order = np.argsort(merged.query_id, kind="stable")
-    return SearchResult(
-        merged.query_id[order], merged.seq_id[order], merged.pos[order], merged.errors[order]
-    )
+    q = np.concatenate([r.query_id for r in results])
+    s = np.concatenate([r.seq_id for r in results])
+    p = np.concatenate([r.pos for r in results])
+    e = np.concatenate([r.errors for r in results])
+    if len(q) == 0:
+        return SearchResult(q, s, p, e)
+    order = np.lexsort((e, p, s, q))
+    q, s, p, e = q[order], s[order], p[order], e[order]
+    keep = np.r_[True, (q[1:] != q[:-1]) | (s[1:] != s[:-1]) | (p[1:] != p[:-1])]
+    return SearchResult(q[keep], s[keep], p[keep], e[keep])
 
 
 def search_queries(
@@ -381,17 +390,4 @@ def search_queries(
         else:
             raise ValueError(f"unknown search mode {mode!r}")
 
-    if not results:
-        z = np.zeros(0, dtype=np.int64)
-        return SearchResult(z, z, z, z)
-    merged = SearchResult(
-        query_id=np.concatenate([r.query_id for r in results]),
-        seq_id=np.concatenate([r.seq_id for r in results]),
-        pos=np.concatenate([r.pos for r in results]),
-        errors=np.concatenate([r.errors for r in results]),
-    )
-    # canonical output order: by queryId (stable within)
-    order = np.argsort(merged.query_id, kind="stable")
-    return SearchResult(
-        merged.query_id[order], merged.seq_id[order], merged.pos[order], merged.errors[order]
-    )
+    return _merge_results(results)

@@ -66,6 +66,10 @@ MAX_ERR = 7
 _BLK = 512
 _I32_MAX = np.iinfo(np.int32).max
 
+import os as _os
+
+_PROFILE_BRANCHES = _os.environ.get("SAHARA_PROFILE_BRANCHES", "") == "1"
+
 
 @dataclasses.dataclass(frozen=True)
 class MetaLayout:
@@ -220,7 +224,7 @@ def main_tail_steps(m: int, ph0: int, k: int, edit: bool) -> tuple[int, int]:
 @partial(
     jax.jit,
     static_argnames=(
-        "edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup",
+        "edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup_every",
         "cap_per_query", "packed",
     ),
 )
@@ -242,7 +246,7 @@ def workq_search(
     ns: int,
     k: int,
     ph0: int,
-    dedup: bool = False,
+    dedup_every: int = 0,
     cap_per_query: int = 0,
     packed: bool = True,
 ):
@@ -356,7 +360,7 @@ def workq_search(
     q_ovf = seed_total > cap0
 
     def make_step(cap, drain):
-        def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts):
+        def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, t=None):
             """One generic step: dedup -> drain -> candidates -> compaction.
 
             With ``packed`` (default), the per-field scalar gathers are
@@ -395,7 +399,7 @@ def workq_search(
                     jnp.stack([q_lb, q_lbr, q_sz, meta, word], axis=1)
                 )
 
-            if dedup:
+            if dedup_every:
                 # Merge states the winner *dominates*: identical cursor
                 # (lb, lbr, sz) at the same (d, s_id, q_id), where the
                 # winner's err/edge-flags/last-op let it reproduce every
@@ -404,48 +408,57 @@ def workq_search(
                 # op flags); domination is then verified field-by-field so
                 # hash collisions and non-dominating winners are left
                 # untouched (safe).  Hit position sets are unchanged;
-                # duplicate multiplicity and queue occupancy shrink.
+                # queue occupancy shrinks (output multiplicity is handled
+                # centrally by the driver's unique-rows merge, so dedup —
+                # and its cadence — never changes what the user sees).
                 # hash-table size is the pow2 >= cap (cap itself need only
                 # be a multiple of 512); empty slots decode to a clamped
                 # row whose kill is still gated by the full `same` check
-                cb = (cap - 1).bit_length()
-                ht = 1 << cb
-                hsh = (
-                    q_lb * jnp.int32(0x9E3779B1 - (1 << 32))
-                    ^ q_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
-                    ^ q_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
-                    ^ (meta & jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)) * jnp.int32(0x27D4EB2F)
-                ) & (ht - 1)
-                bad = ((opf & 3) != 0).astype(jnp.int32) + ((opf >> 2) & 1) + ((opf >> 3) & 1)
-                packed_pri = (err << (cb + 2)) | (jnp.minimum(bad, 3) << cb) | row_ids
-                packed_pri = jnp.where(alive, packed_pri, _I32_MAX)
-                table = jnp.full(ht, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
-                win = jnp.minimum(jnp.take(table, hsh) & (ht - 1), cap - 1)
-                keym = jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)
-                if packed:
-                    W = jnp.take(S5, win, axis=0)
-                    w_lb, w_lbr, w_sz, w_meta = W[:, 0], W[:, 1], W[:, 2], W[:, 3]
+                def _dedup_sz(q_sz_in):
+                    alive_in = q_sz_in > 0
+                    cb = (cap - 1).bit_length()
+                    ht = 1 << cb
+                    hsh = (
+                        q_lb * jnp.int32(0x9E3779B1 - (1 << 32))
+                        ^ q_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
+                        ^ q_sz_in * jnp.int32(0xC2B2AE3D - (1 << 32))
+                        ^ (meta & jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)) * jnp.int32(0x27D4EB2F)
+                    ) & (ht - 1)
+                    bad = ((opf & 3) != 0).astype(jnp.int32) + ((opf >> 2) & 1) + ((opf >> 3) & 1)
+                    packed_pri = (err << (cb + 2)) | (jnp.minimum(bad, 3) << cb) | row_ids
+                    packed_pri = jnp.where(alive_in, packed_pri, _I32_MAX)
+                    table = jnp.full(ht, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
+                    win = jnp.minimum(jnp.take(table, hsh) & (ht - 1), cap - 1)
+                    keym = jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)
+                    if packed:
+                        W = jnp.take(S5, win, axis=0)
+                        w_lb, w_lbr, w_sz, w_meta = W[:, 0], W[:, 1], W[:, 2], W[:, 3]
+                    else:
+                        w_lb = jnp.take(q_lb, win)
+                        w_lbr = jnp.take(q_lbr, win)
+                        w_sz = jnp.take(q_sz_in, win)
+                        w_meta = jnp.take(meta, win)
+                    w_opf = w_meta & L.opf_mask
+                    w_err = (w_meta >> L.err_shift) & L.err_mask
+                    same = (
+                        (w_lb == q_lb)
+                        & (w_lbr == q_lbr)
+                        & (w_sz == q_sz_in)
+                        & (((w_meta ^ meta) & keym) == 0)
+                    )
+                    err_dom = (w_err == err) | ((w_err < err) & (maxlo <= w_err))
+                    edge_dom = (w_opf & _EDGES & ~opf) == 0  # winner edges subset
+                    op_dom = ((w_opf & 3) == 0) | ((w_opf & 3) == (opf & 3))
+                    # (for Hamming tapes opf is always 0, so edge/op dominance
+                    # holds trivially and this reduces to the err-aware merge)
+                    kill = alive_in & same & (win != row_ids) & err_dom & edge_dom & op_dom
+                    return jnp.where(kill, 0, q_sz_in)
+
+                if dedup_every == 1 or t is None:
+                    q_sz = _dedup_sz(q_sz)
                 else:
-                    w_lb = jnp.take(q_lb, win)
-                    w_lbr = jnp.take(q_lbr, win)
-                    w_sz = jnp.take(q_sz, win)
-                    w_meta = jnp.take(meta, win)
-                w_opf = w_meta & L.opf_mask
-                w_err = (w_meta >> L.err_shift) & L.err_mask
-                same = (
-                    (w_lb == q_lb)
-                    & (w_lbr == q_lbr)
-                    & (w_sz == q_sz)
-                    & (((w_meta ^ meta) & keym) == 0)
-                )
-                err_dom = (w_err == err) | ((w_err < err) & (maxlo <= w_err))
-                edge_dom = (w_opf & _EDGES & ~opf) == 0  # winner edges subset
-                op_dom = ((w_opf & 3) == 0) | ((w_opf & 3) == (opf & 3))
-                # (for Hamming tapes opf is always 0, so edge/op dominance
-                # holds trivially and this reduces to the err-aware merge)
-                kill = alive & same & (win != row_ids) & err_dom & edge_dom & op_dom
-                q_sz = jnp.where(kill, 0, q_sz)
-                alive = alive & ~kill
+                    q_sz = lax.cond(t % dedup_every == 0, _dedup_sz, lambda x: x, q_sz)
+                alive = q_sz > 0
 
             if drain:
                 if cap_per_query:
@@ -538,6 +551,21 @@ def workq_search(
             e_used = flags.shape[1]
             fl = flags.T.reshape(-1)
             pos, total = _positions(fl, tri)
+            if _PROFILE_BRANCHES:
+                # temporary diagnostics (env SAHARA_PROFILE_BRANCHES=1):
+                # per-step parent branching histogram rides in the y slot
+                cnt_p = flags.sum(axis=1).astype(jnp.int32)
+                hist_y = jnp.stack(
+                    [
+                        total,
+                        (cnt_p > 0).sum().astype(jnp.int32),
+                        (cnt_p == 1).sum().astype(jnp.int32),
+                        (cnt_p == 2).sum().astype(jnp.int32),
+                        jnp.maximum(cnt_p - 2, 0).sum().astype(jnp.int32),
+                    ]
+                )
+            else:
+                hist_y = None
             q_ovf = q_ovf | (total > cap)
             max_live = jnp.maximum(max_live, total)
             cand_payload = (
@@ -612,7 +640,10 @@ def workq_search(
             new_meta = jnp.where(live, new_meta, 0)
 
             new_state = (new_lb, new_lbr, new_sz, new_meta)
-            return new_state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, total
+            return (
+                new_state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts,
+                total if hist_y is None else hist_y,
+            )
 
         return expand_step
 
@@ -641,32 +672,40 @@ def workq_search(
     hq_counts0 = jnp.zeros(nq, dtype=jnp.int32)
     live_profiles = [seed_total.reshape(1)]
     max_live = max_live0
+    step_base = 0  # global step index feeds the dedup cadence
     for steps, cap in plan:
         state, q_ovf = _resize(state, cap, q_ovf)
         step_fn = make_step(cap, drain=False)
 
-        def main_body(carry, _):
+        def main_body(carry, t):
             state, q_ovf, max_live = carry
             state, _, _, q_ovf, _, max_live, _, total = step_fn(
-                state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0
+                state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0, t
             )
             return (state, q_ovf, max_live), total
 
-        (state, q_ovf, max_live), lives = lax.scan(main_body, (state, q_ovf, max_live), None, length=steps)
+        (state, q_ovf, max_live), lives = lax.scan(
+            main_body,
+            (state, q_ovf, max_live),
+            jnp.arange(step_base, step_base + steps, dtype=jnp.int32),
+        )
         live_profiles.append(lives)
+        step_base += steps
 
     state, q_ovf = _resize(state, tail_cap, q_ovf)
     tail_fn = make_step(tail_cap, drain=True)
 
-    def tail_body(carry, _):
+    def tail_body(carry, t):
         state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts = carry
         state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, total = tail_fn(
-            state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts
+            state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, t
         )
         return (state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts), total
 
     (state, hits, n_hits, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
-        tail_body, (state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0), None, length=tail_steps
+        tail_body,
+        (state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0),
+        jnp.arange(step_base, step_base + tail_steps, dtype=jnp.int32),
     )
     live_profiles.append(tail_lives)
 
@@ -677,6 +716,8 @@ def workq_search(
     tailvals = tailvals.at[1].set(q_ovf.astype(jnp.int32))
     tailvals = tailvals.at[2].set(h_ovf.astype(jnp.int32))
     tailvals = tailvals.at[3].set(max_live)
+    if _PROFILE_BRANCHES:
+        live_profiles = [live_profiles[0]] + [p.reshape(-1) for p in live_profiles[1:]]
     profile = jnp.concatenate(live_profiles)
     h_lane, h_lb, h_sz, h_err = hits
     return jnp.concatenate([h_lane, h_lb, h_sz, h_err, tailvals, profile])
@@ -835,6 +876,7 @@ def run_workq_search(
     max_retries: int = 4,
     device_tape: tuple | None = None,
     dedup: bool = False,
+    dedup_every: int | None = None,
     max_hits: int = 0,
     packed: bool | None = None,
 ) -> FlatHits:
@@ -848,10 +890,15 @@ def run_workq_search(
 
     ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
     device arrays so repeated chunk calls skip the host->device latency."""
-    if packed is None:
-        import os
+    import os
 
+    if packed is None:
         packed = os.environ.get("SAHARA_NO_PACKED_GATHERS", "") != "1"
+    if dedup_every is None:
+        # cadence: dominance-merge every Nth step — the scatter-min +
+        # winner-verify costs ~14ns/cap-slot, so thinning it trades merge
+        # latency (slightly larger queue) for step cost
+        dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "1")) if dedup else 0
     nq, m = queries.shape
     ns = tape.num_searches
     k = tape.max_errors
@@ -868,7 +915,7 @@ def run_workq_search(
     # ph0 is part of the key: it sets main/tail step counts, so profiles
     # from tapes with a different exact-prefix length are not interchangeable
     _capmem_load()
-    cap_key = (nq, ns, m, k, ph0, edit, dedup, cap_per_query, int(index.n))
+    cap_key = (nq, ns, m, k, ph0, edit, dedup_every, cap_per_query, int(index.n))
     mem = _CAP_MEMORY.get(cap_key)
     if mem is None:
         # bootstrap from a sibling workload that differs only in query
@@ -929,7 +976,7 @@ def run_workq_search(
         out = workq_search(
             index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
             edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
-            m=m, ns=ns, k=k, ph0=ph0, dedup=dedup, cap_per_query=cap_per_query,
+            m=m, ns=ns, k=k, ph0=ph0, dedup_every=dedup_every, cap_per_query=cap_per_query,
             packed=packed,
         )
         out = np.asarray(out)  # ONE device->host transfer
@@ -943,6 +990,14 @@ def run_workq_search(
             # powers of two to bound the number of compiled variants; the
             # stored values only grow across chunks, so they converge to
             # the workload's true peak and stay there
+            if _PROFILE_BRANCHES:  # diagnostic run: raw hist profile, no capmem
+                n = n_hits
+                return FlatHits(
+                    lane=out[:n], lb=out[hq_cap : hq_cap + n],
+                    sz=out[2 * hq_cap : 2 * hq_cap + n], err=out[3 * hq_cap : 3 * hq_cap + n],
+                    n_hits=n, queue_overflow=q_ovf_b, hit_overflow=h_ovf_b,
+                    max_live=max_live, live_profile=profile,
+                )
             want_q = _pow2_cap(max_live + _BLK)
             want_h = _pow2_cap(n_hits + _BLK)
             old = _CAP_MEMORY.get(cap_key)

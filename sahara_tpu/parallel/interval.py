@@ -137,7 +137,7 @@ def distributed_interval_search(
             packed = workq_search(
                 local, q, side, qpos, lo, hi, act, n_loc.reshape(()),
                 edit=edit, plan=plan, tail_cap=q_cap, hq_cap=hq_cap,
-                m=m, ns=ns, k=k, ph0=ph0, dedup=dedup,
+                m=m, ns=ns, k=k, ph0=ph0, dedup_every=1 if dedup else 0,
             )
             return packed.reshape(1, -1)
 

@@ -139,7 +139,7 @@ def distributed_workq_search(
             packed = workq_search(
                 index, q_shard, side, qpos, lo, hi, act,
                 edit=edit, plan=plan, tail_cap=q_cap, hq_cap=hq_cap,
-                m=m, ns=ns, k=k, ph0=ph0, dedup=dedup,
+                m=m, ns=ns, k=k, ph0=ph0, dedup_every=1 if dedup else 0,
             )
             total = jax.lax.psum(packed[4 * hq_cap], DATA_AXIS)
             return packed.reshape(1, -1), total.reshape(1)
