@@ -162,6 +162,55 @@ class FlatHits:
     live_profile: np.ndarray | None = None  # int32[1 + steps]: seeds + per-step live
 
 
+def _compact_matmul(
+    fl: jax.Array, payload: jax.Array, cap: int, tri: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Stream compaction of flagged payloads into ``cap`` slots WITHOUT a
+    scatter: per-512-block one-hot matmuls compact locally on the MXU,
+    then a mark-prefix stitch maps output slots to (block, column) and one
+    narrow gather reads the result — 3.5x faster than the XLA scatter at
+    bench shapes (12 vs 42 ns/slot, measured in-program on v5e).
+
+    Exactness: runs in f32, so requires payload values and the total flag
+    count < 2^24 (callers guard cap accordingly).  Returns
+    (sel int32[cap] — payload per slot, 0 beyond the live range;
+    total int32)."""
+    n = fl.shape[0]
+    rows = n // _BLK
+    f = fl.reshape(rows, _BLK).astype(jnp.float32)
+    incl = jnp.dot(f, tri, preferred_element_type=jnp.float32)
+    loc = incl - f  # exclusive local position within the block
+    cnt_b = incl[:, -1]
+    block_off = jnp.cumsum(cnt_b) - cnt_b
+    # local compaction: out_local[b, j] = sum_i payload[b, i] * onehot
+    iota_blk = jnp.arange(_BLK, dtype=jnp.float32)
+    oh = jnp.where(
+        fl.reshape(rows, _BLK)[:, :, None],
+        (loc[:, :, None] == iota_blk[None, None, :]).astype(jnp.float32),
+        0.0,
+    )
+    src = payload.reshape(rows, _BLK).astype(jnp.float32)
+    out_local = lax.dot_general(
+        src[:, None, :], oh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]
+    # stitch: covering block of output slot j = (#block starts <= j) - 1
+    offs_i = block_off.astype(jnp.int32)
+    marks = jnp.zeros(cap, jnp.float32).at[jnp.minimum(offs_i, cap)].add(1.0, mode="drop")
+    mp = marks.reshape(-1, _BLK)
+    incl_m = jnp.dot(mp, tri, preferred_element_type=jnp.float32)
+    row_tot = incl_m[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot
+    b_of_j = (incl_m + row_off[:, None]).reshape(-1).astype(jnp.int32) - 1
+    b_c = jnp.clip(b_of_j, 0, rows - 1)
+    col = jnp.arange(cap, dtype=jnp.int32) - jnp.take(offs_i, b_c)
+    g = b_c * _BLK + jnp.clip(col, 0, _BLK - 1)
+    total = jnp.sum(cnt_b).astype(jnp.int32)
+    live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+    sel = jnp.where(live, jnp.take(out_local.reshape(-1), g).astype(jnp.int32), 0)
+    return sel, total
+
+
 def _positions(flags: jax.Array, tri: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Exclusive positions of set flags (flat bool[N], N % 512 == 0) via an
     MXU prefix-sum: block-local positions from a triangular matmul, block
@@ -550,7 +599,19 @@ def workq_search(
             # profile).
             e_used = flags.shape[1]
             fl = flags.T.reshape(-1)
-            pos, total = _positions(fl, tri)
+            cand_payload = (
+                (jnp.arange(cap, dtype=jnp.int32)[None, :] << 4)
+                | jnp.arange(e_used, dtype=jnp.int32)[:, None]
+            ).reshape(-1)
+            if cap <= (1 << 20):
+                # payload values (cap<<4 | branch) and flag totals stay
+                # inside f32's exact range -> MXU compaction (3.5x the
+                # scatter); the scatter path remains for huge caps
+                sel, total = _compact_matmul(fl, cand_payload, cap, tri)
+            else:
+                pos, total = _positions(fl, tri)
+                dest = jnp.where(fl, pos, cap)  # dead -> OOB -> dropped
+                sel = jnp.zeros(cap, dtype=jnp.int32).at[dest].set(cand_payload, mode="drop")
             if _PROFILE_BRANCHES:
                 # temporary diagnostics (env SAHARA_PROFILE_BRANCHES=1):
                 # per-step parent branching histogram rides in the y slot
@@ -568,12 +629,6 @@ def workq_search(
                 hist_y = None
             q_ovf = q_ovf | (total > cap)
             max_live = jnp.maximum(max_live, total)
-            cand_payload = (
-                (jnp.arange(cap, dtype=jnp.int32)[None, :] << 4)
-                | jnp.arange(e_used, dtype=jnp.int32)[:, None]
-            ).reshape(-1)
-            dest = jnp.where(fl, pos, cap)  # dead -> out of bounds -> dropped
-            sel = jnp.zeros(cap, dtype=jnp.int32).at[dest].set(cand_payload, mode="drop")
             sel = lax.optimization_barrier(sel)
             live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
 
