@@ -177,6 +177,12 @@ def _compact_matmul(
     total int32)."""
     n = fl.shape[0]
     rows = n // _BLK
+    # barrier-isolate from surrounding fusion: the axon TPU backend
+    # miscompiled this sequence when the flag producer was fused into the
+    # one-hot matmul operands (wrong sel for small-row cases; hermetic CPU
+    # and the isolated kernel are correct — same class of bug as the
+    # stacked-state row-gather miscompile, see the state-vector note)
+    fl = lax.optimization_barrier(fl)
     f = fl.reshape(rows, _BLK).astype(jnp.float32)
     incl = jnp.dot(f, tri, preferred_element_type=jnp.float32)
     loc = incl - f  # exclusive local position within the block

@@ -5,6 +5,13 @@ import os
 
 # Force CPU even if the ambient environment selects a TPU platform (e.g.
 # JAX_PLATFORMS=axon): unit tests must be hermetic and fast.
+# JAX_PLATFORMS alone is NOT enough: the axon site hook re-registers the
+# tunneled TPU as the default backend whenever PALLAS_AXON_POOL_IPS is
+# set, silently routing "cpu" test runs through the TPU (discovered when
+# a TPU-only miscompile surfaced in this suite).  Drop the pool var so
+# the plugin never engages; TPU behavior is covered by tpu_check.py +
+# bench.py on real hardware.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
