@@ -254,9 +254,17 @@ def _pack_lane_tape(
     future lower bound exceeds its error count)."""
     nq, m = queries.shape
     t_maxlo = jnp.flip(lax.cummax(jnp.flip(t_lo, axis=1), axis=1), axis=1)
-    qc = queries[:, None, :]  # [nq, 1, m] — will index by qpos
-    qpos = t_qpos[None, :, :]  # [1, ns, m]
-    qc_at = jnp.take_along_axis(jnp.broadcast_to(qc, (nq, ns, m)), jnp.broadcast_to(qpos, (nq, ns, m)), axis=2)
+    # query chars at tape positions via a one-hot MXU matmul: the previous
+    # broadcast + take_along_axis materialized [nq, ns, m] twice and cost
+    # ~29ms/chunk at bench shapes; qc values < 256 are exact in f32
+    onehot = (t_qpos.reshape(-1)[None, :] == jnp.arange(m, dtype=jnp.int32)[:, None]).astype(
+        jnp.float32
+    )  # [m, ns*m]
+    qc_at = (
+        jnp.dot(queries.astype(jnp.float32), onehot, preferred_element_type=jnp.float32)
+        .astype(jnp.int32)
+        .reshape(nq, ns, m)
+    )
     word = (
         t_side[None, :, :]
         | (t_lo[None, :, :] << 1)
@@ -367,20 +375,24 @@ def workq_search(
         return ranks[:n], ranks[n:]
 
     # ---------------- phase 0: exact seed, one state per lane ------------
-    def ph0_step(carry, t):
+    # every lane is at d == t in lockstep here, so the per-step tape words
+    # are a ROW of the transposed tape (scan xs — no gather at all), and
+    # the per-symbol selections are masked sums (no take_along_axis)
+    sym_iota = jnp.arange(sigma, dtype=jnp.int32)[None, :]
+
+    def ph0_step(carry, word):
         lb, lbr, sz = carry
-        word = jnp.take(lane_tape, lanes * m + t)
         side = word & 1
         qc = (word >> 9) & 0xFF
         primary = jnp.where(side == 1, lbr, lb)
         secondary = jnp.where(side == 1, lb, lbr)
         r_lo, r_hi = fused_rank(primary, sz, side * rev_rows)
         cnt = r_hi - r_lo
-        prefix = jnp.cumsum(cnt, axis=-1) - cnt
         c = qc[:, None]
-        newp = jnp.take_along_axis(c_arr[None, :sigma] + r_lo, c, axis=1)[:, 0]
-        news = secondary + jnp.take_along_axis(prefix, c, axis=1)[:, 0]
-        nsz = jnp.take_along_axis(cnt, c, axis=1)[:, 0]
+        eq = sym_iota == c
+        newp = jnp.where(eq, c_arr[None, :sigma] + r_lo, 0).sum(axis=1)
+        news = secondary + jnp.where(sym_iota < c, cnt, 0).sum(axis=1)
+        nsz = jnp.where(eq, cnt, 0).sum(axis=1)
         lb = jnp.where(side == 1, news, newp)
         lbr = jnp.where(side == 1, newp, news)
         return (lb, lbr, jnp.maximum(nsz, 0)), None
@@ -389,7 +401,8 @@ def workq_search(
     lbr0 = jnp.zeros(b, dtype=jnp.int32)
     n0 = jnp.int32(index.n) if n_init is None else n_init.astype(jnp.int32)
     sz0 = jnp.where(lane_active, n0, 0)
-    (lb0, lbr0, sz0), _ = lax.scan(ph0_step, (lb0, lbr0, sz0), jnp.arange(ph0, dtype=jnp.int32))
+    tape_T = lane_tape.reshape(b, m).T  # [m, b]
+    (lb0, lbr0, sz0), _ = lax.scan(ph0_step, (lb0, lbr0, sz0), tape_T[:ph0])
 
     # -------- compact surviving seeds into the first segment capacity ----
     cap0 = plan[0][1] if plan else tail_cap
