@@ -1041,7 +1041,7 @@ def run_workq_search(
                 fits = len(oc_steps) == len(nc_steps) and all(
                     o >= n for o, n in zip(oc_steps, nc_steps)
                 )
-                if fits and new_cost >= 0.7 * old_cost:
+                if fits and new_cost >= 0.9 * old_cost:
                     plan, tail_cap = op, otc
             mem["plan"] = (plan, tail_cap)
         else:
