@@ -15,9 +15,17 @@ import numpy as np
 
 from sahara_tpu.engine.approx import SearchHits, run_scheme_search_chunked
 from sahara_tpu.engine.device import DeviceIndex
-from sahara_tpu.engine.locate import locate, locate_rows_host
+from sahara_tpu.engine.locate import locate, locate_rows_begin, locate_rows_end, locate_rows_host
 from sahara_tpu.engine.tape import SchemeTape, compile_tape
-from sahara_tpu.engine.workq import MAX_NS, FlatHits, max_chunk_queries, run_workq_search, upload_tape
+from sahara_tpu.engine.workq import (
+    MAX_NS,
+    FlatHits,
+    collect_workq,
+    dispatch_workq,
+    max_chunk_queries,
+    run_workq_search,
+    upload_tape,
+)
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
 from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weighted_node_count
 from sahara_tpu.schemes.types import Scheme
@@ -137,18 +145,16 @@ def _locate_hits(
     return _cap_hits_per_query(result, max_hits)
 
 
-def _locate_flat_hits(
+def _locate_flat_hits_begin(
     index: DeviceIndex,
     hits: FlatHits,
     ns: int,
     query_ids: np.ndarray,
-    max_hits: int = 0,
-) -> SearchResult:
-    """Locate a work-queue engine result (flat hit list)."""
+) -> dict | None:
+    """Host-expand a work-queue result's hit intervals and launch the
+    device LF-walk asynchronously (collect with _locate_flat_hits_end)."""
     if hits.n_hits == 0:
-        z = np.zeros(0, dtype=np.int64)
-        return SearchResult(z, z, z, z)
-    # canonical order: by (query, search) then discovery order
+        return None
     lane_q = hits.lane // ns
     order = np.argsort(hits.lane, kind="stable")
     lb = hits.lb[order]
@@ -157,16 +163,38 @@ def _locate_flat_hits(
     q_of_hit = lane_q[order]
 
     cap_rows = max(_next_pow2(int(sz.sum())), 8)
-    src, seq_id, pos = locate_rows_host(
+    ctx = locate_rows_begin(
         index, np.asarray(lb, dtype=np.int32), np.asarray(sz, dtype=np.int32), cap_rows
     )
+    ctx["err"] = err
+    ctx["q_of_hit"] = q_of_hit
+    ctx["query_ids"] = query_ids
+    return ctx
+
+
+def _locate_flat_hits_end(ctx: dict | None, max_hits: int = 0) -> SearchResult:
+    if ctx is None:
+        z = np.zeros(0, dtype=np.int64)
+        return SearchResult(z, z, z, z)
+    src, seq_id, pos = locate_rows_end(ctx)
     result = SearchResult(
-        query_id=query_ids[q_of_hit[src]].astype(np.int64),
+        query_id=ctx["query_ids"][ctx["q_of_hit"][src]].astype(np.int64),
         seq_id=seq_id.astype(np.int64),
         pos=pos.astype(np.int64),
-        errors=err[src].astype(np.int64),
+        errors=ctx["err"][src].astype(np.int64),
     )
     return _cap_hits_per_query(result, max_hits)
+
+
+def _locate_flat_hits(
+    index: DeviceIndex,
+    hits: FlatHits,
+    ns: int,
+    query_ids: np.ndarray,
+    max_hits: int = 0,
+) -> SearchResult:
+    """Locate a work-queue engine result (flat hit list)."""
+    return _locate_flat_hits_end(_locate_flat_hits_begin(index, hits, ns, query_ids), max_hits)
 
 
 def _run_workq_grouped(
@@ -180,10 +208,13 @@ def _run_workq_grouped(
     max_hits: int,
     chunk: int,
 ) -> SearchResult:
-    """Work-queue engine driver: chunk queries to the meta-packing limit and
-    split schemes with more than MAX_NS searches into tape groups."""
+    """Work-queue engine driver: chunk queries to the meta-packing limit,
+    split schemes with more than MAX_NS searches into tape groups, and
+    PIPELINE the chunks — up to ``_INFLIGHT`` device searches are queued
+    ahead so host-side parsing/locate-prep of chunk i overlaps the device
+    executing chunks i+1.. (the device runs one stream FIFO; jax dispatch
+    is async).  LF-walk collections all happen at the end."""
     ns_total = tape.num_searches
-    results: list[SearchResult] = []
     groups = [
         SchemeTape(
             side=tape.side[g : g + MAX_NS],
@@ -197,6 +228,25 @@ def _run_workq_grouped(
     chunk = min(chunk, *(max_chunk_queries(g.length, g.num_searches, g.max_errors, edit) for g in groups))
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+
+    _INFLIGHT = 4
+    inflight: list[tuple[dict, np.ndarray, int]] = []
+    loc_pending: list[dict | None] = []
+
+    def _drain_one():
+        st, ids_d, ns_g = inflight.pop(0)
+        hits = collect_workq(st)
+        if hits.queue_overflow or hits.hit_overflow:
+            # the engine is exact only when its static buffers held; a
+            # persistent overflow after the doubling retries means hits
+            # were dropped — never return silently-partial results
+            raise RuntimeError(
+                "scheme search overflowed its work buffers after retries "
+                f"(queue_overflow={hits.queue_overflow}, hit_overflow={hits.hit_overflow}); "
+                "the reference text is pathologically repetitive for this capacity"
+            )
+        loc_pending.append(_locate_flat_hits_begin(index, hits, ns_g, ids_d))
+
     for start in range(0, nq, chunk):
         q = qarr[start : start + chunk]
         a = act_all[start : start + chunk]
@@ -207,23 +257,17 @@ def _run_workq_grouped(
             a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
             ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
         for gt, dt in zip(groups, group_tapes):
-            # dedup merges states identical in every field (duplicate
-            # enumeration orderings); hit positions are unchanged
-            hits = run_workq_search(
+            if len(inflight) >= _INFLIGHT:
+                _drain_one()
+            # dedup merges dominated states (duplicate enumeration
+            # orderings); hit positions are unchanged
+            st = dispatch_workq(
                 index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True, max_hits=max_hits
             )
-            if hits.queue_overflow or hits.hit_overflow:
-                # the engine is exact only when its static buffers held; a
-                # persistent overflow after the doubling retries means hits
-                # were dropped — never return silently-partial results
-                raise RuntimeError(
-                    "scheme search overflowed its work buffers after retries "
-                    f"(queue_overflow={hits.queue_overflow}, hit_overflow={hits.hit_overflow}); "
-                    "the reference text is pathologically repetitive for this capacity"
-                )
-            results.append(
-                _locate_flat_hits(index, hits, gt.num_searches, ids, max_hits=0)
-            )
+            inflight.append((st, ids, gt.num_searches))
+    while inflight:
+        _drain_one()
+    results = [_locate_flat_hits_end(ctx) for ctx in loc_pending]
     merged = _merge_results(results)
     return _cap_hits_per_query(merged, max_hits)
 

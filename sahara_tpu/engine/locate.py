@@ -110,11 +110,12 @@ def lf_walk_packed(index: DeviceIndex, rows: jax.Array, valid: jax.Array):
     return jnp.concatenate([seq_id, pos])
 
 
-def locate_rows_host(index: DeviceIndex, lb, ln, cap_rows: int):
-    """Host helper: expand the ragged intervals with numpy (the ragged
+def locate_rows_begin(index: DeviceIndex, lb, ln, cap_rows: int) -> dict:
+    """Expand the ragged intervals with numpy (the ragged
     cumsum/searchsorted is pathological on the TPU backend and trivial on
-    host), LF-walk the dense rows on device, return numpy
-    (src, seq_id, pos) filtered to valid rows."""
+    host) and launch the device LF-walk WITHOUT blocking — jax dispatch is
+    async, so callers can overlap further host/device work and call
+    :func:`locate_rows_end` later."""
     import numpy as np
 
     lb = np.asarray(lb, dtype=np.int64)
@@ -129,7 +130,19 @@ def locate_rows_host(index: DeviceIndex, lb, ln, cap_rows: int):
     rows_pad[:n] = rows
     valid = np.zeros(cap_rows, dtype=bool)
     valid[:n] = True
-    packed = np.asarray(lf_walk_packed(index, jnp.asarray(rows_pad), jnp.asarray(valid)))
-    seq_id = packed[:cap_rows][:n]
-    pos = packed[cap_rows:][:n]
-    return src, seq_id, pos
+    fut = lf_walk_packed(index, jnp.asarray(rows_pad), jnp.asarray(valid))
+    return {"fut": fut, "src": src, "n": n, "cap_rows": cap_rows}
+
+
+def locate_rows_end(ctx: dict):
+    """Block on a dispatched LF-walk: numpy (src, seq_id, pos) of valid rows."""
+    import numpy as np
+
+    packed = np.asarray(ctx["fut"])
+    n, cap_rows = ctx["n"], ctx["cap_rows"]
+    return ctx["src"], packed[:cap_rows][:n], packed[cap_rows:][:n]
+
+
+def locate_rows_host(index: DeviceIndex, lb, ln, cap_rows: int):
+    """Synchronous locate_rows_begin + locate_rows_end."""
+    return locate_rows_end(locate_rows_begin(index, lb, ln, cap_rows))

@@ -938,7 +938,53 @@ def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> 
     return tuple((s, c) for s, c in runs), tail_cap
 
 
-def run_workq_search(
+def _workq_attempt(st: dict) -> None:
+    """Select a capacity plan from the attempt state and launch ONE device
+    call (async — the result future lands in st['dev_out'])."""
+    mem = st["mem"]
+    main_steps, tail_steps = st["main_steps"], st["tail_steps"]
+    if st["use_profile"]:
+        plan, tail_cap = plan_from_profile(mem["profile"], main_steps, tail_steps)
+        # compile hysteresis: chunk-to-chunk profile jitter must not
+        # trigger a recompile per chunk — keep the already-compiled
+        # plan unless the new one is meaningfully cheaper AND the old
+        # one still has capacity for the grown profile
+        old_plan = mem.get("plan")
+        if old_plan is not None:
+            (op, otc), (np_, ntc) = old_plan, (plan, tail_cap)
+            old_cost = sum(s * c for s, c in op) + tail_steps * otc
+
+            def _percap(pl, tc):
+                out = []
+                for s, c in pl:
+                    out += [c] * s
+                return out + [tc] * tail_steps
+
+            oc_steps, nc_steps = _percap(op, otc), _percap(np_, ntc)
+            new_cost = sum(s * c for s, c in np_) + tail_steps * ntc
+            # the old compiled plan still fits if it has at least the
+            # new plan's capacity at every step (segment boundaries may
+            # jitter run to run — that must not force a recompile)
+            fits = len(oc_steps) == len(nc_steps) and all(
+                o >= n for o, n in zip(oc_steps, nc_steps)
+            )
+            if fits and new_cost >= 0.9 * old_cost:
+                plan, tail_cap = op, otc
+        mem["plan"] = (plan, tail_cap)
+    else:
+        plan = ((main_steps, st["q_cap"]),) if main_steps else ()
+        tail_cap = st["q_cap"]
+    st["cur_hq"] = st["hq_cap"]
+    st["dev_out"] = workq_search(
+        st["index"], st["queries_j"], *st["device_tape"], st["act_j"],
+        edit=st["edit"], plan=plan, tail_cap=tail_cap, hq_cap=st["hq_cap"],
+        m=st["m"], ns=st["ns"], k=st["k"], ph0=st["ph0"],
+        dedup_every=st["dedup_every"], cap_per_query=st["cap_per_query"],
+        packed=st["packed"],
+    )
+
+
+def dispatch_workq(
     index: DeviceIndex,
     queries: np.ndarray,
     tape: SchemeTape,
@@ -953,17 +999,11 @@ def run_workq_search(
     dedup_every: int | None = None,
     max_hits: int = 0,
     packed: bool | None = None,
-) -> FlatHits:
-    """Host wrapper with overflow retry (doubling queue/hit capacity) and
-    live-profile-driven segmented capacity planning.
-
-    ``max_hits`` > 0 engages the in-search work bound at 4x the cap (see
-    ``workq_search``'s ``cap_per_query``): pathological queries stop
-    expanding once saturated; exact per-query capping in canonical order
-    remains the driver's job.
-
-    ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
-    device arrays so repeated chunk calls skip the host->device latency."""
+) -> dict:
+    """Plan capacities and launch the search WITHOUT blocking on the
+    result: jax dispatch is async, so the caller can overlap host work
+    (or launch further chunks) and call :func:`collect_workq` later.
+    Returns an opaque attempt-state dict."""
     import os
 
     if packed is None:
@@ -979,11 +1019,8 @@ def run_workq_search(
     b = nq * ns
     ph0 = phase0_length(tape, edit)
     main_steps, tail_steps = main_tail_steps(m, ph0, k, edit)
-    queries_j = jnp.asarray(queries, dtype=jnp.int32)
-    act = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
     if device_tape is None:
         device_tape = upload_tape(tape)
-    t_side, t_qpos, t_lo, t_hi = device_tape
 
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
     # ph0 is part of the key: it sets main/tail step counts, so profiles
@@ -1013,78 +1050,57 @@ def run_workq_search(
     use_profile = mem is not None and mem.get("profile") is not None
     if mem is None:
         q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult)
+        mem = {"q_cap": q_cap, "hq_cap": hq_cap, "profile": None, "plan": None}
     else:
         q_cap, hq_cap = mem["q_cap"], mem["hq_cap"]
-    for attempt in range(max_retries):
-        if use_profile:
-            plan, tail_cap = plan_from_profile(mem["profile"], main_steps, tail_steps)
-            # compile hysteresis: chunk-to-chunk profile jitter must not
-            # trigger a recompile per chunk — keep the already-compiled
-            # plan unless the new one is meaningfully cheaper AND the old
-            # one still has capacity for the grown profile
-            old_plan = mem.get("plan")
-            if old_plan is not None:
-                (op, otc), (np_, ntc) = old_plan, (plan, tail_cap)
-                old_cost = sum(s * c for s, c in op) + tail_steps * otc
+    st = {
+        "index": index,
+        "queries_j": jnp.asarray(queries, dtype=jnp.int32),
+        "act_j": jnp.asarray(
+            np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+        ),
+        "device_tape": device_tape,
+        "edit": edit, "m": m, "ns": ns, "k": k, "ph0": ph0,
+        "dedup_every": dedup_every, "cap_per_query": cap_per_query, "packed": packed,
+        "main_steps": main_steps, "tail_steps": tail_steps,
+        "cap_key": cap_key, "mem": mem, "use_profile": use_profile,
+        "q_cap": q_cap, "hq_cap": hq_cap, "max_retries": max_retries, "attempt": 0,
+    }
+    _workq_attempt(st)
+    return st
 
-                def _percap(pl, tc):
-                    out = []
-                    for s, c in pl:
-                        out += [c] * s
-                    return out + [tc] * tail_steps
 
-                oc_steps, nc_steps = _percap(op, otc), _percap(np_, ntc)
-                new_cost = sum(s * c for s, c in np_) + tail_steps * ntc
-                # the old compiled plan still fits if it has at least the
-                # new plan's capacity at every step (segment boundaries may
-                # jitter run to run — that must not force a recompile)
-                fits = len(oc_steps) == len(nc_steps) and all(
-                    o >= n for o, n in zip(oc_steps, nc_steps)
-                )
-                if fits and new_cost >= 0.9 * old_cost:
-                    plan, tail_cap = op, otc
-            mem["plan"] = (plan, tail_cap)
-        else:
-            plan = ((main_steps, q_cap),) if main_steps else ()
-            tail_cap = q_cap
-        out = workq_search(
-            index, queries_j, t_side, t_qpos, t_lo, t_hi, jnp.asarray(act),
-            edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
-            m=m, ns=ns, k=k, ph0=ph0, dedup_every=dedup_every, cap_per_query=cap_per_query,
-            packed=packed,
-        )
-        out = np.asarray(out)  # ONE device->host transfer
+def collect_workq(st: dict) -> FlatHits:
+    """Block on a dispatched search, parse it, and run the overflow retry
+    loop (synchronously) if its static buffers were too small."""
+    while True:
+        out = np.asarray(st["dev_out"])  # ONE device->host transfer
+        hq_cap = st["cur_hq"]
         n_hits = int(out[4 * hq_cap])
         q_ovf_b = bool(out[4 * hq_cap + 1])
         h_ovf_b = bool(out[4 * hq_cap + 2])
         max_live = int(out[4 * hq_cap + 3])
         profile = out[4 * hq_cap + 8 :]
-        if not (q_ovf_b or h_ovf_b) or attempt == max_retries - 1:
+        if not (q_ovf_b or h_ovf_b) or st["attempt"] == st["max_retries"] - 1:
             # remember the observed peaks for future calls, quantized to
             # powers of two to bound the number of compiled variants; the
             # stored values only grow across chunks, so they converge to
             # the workload's true peak and stay there
-            if _PROFILE_BRANCHES:  # diagnostic run: raw hist profile, no capmem
-                n = n_hits
-                return FlatHits(
-                    lane=out[:n], lb=out[hq_cap : hq_cap + n],
-                    sz=out[2 * hq_cap : 2 * hq_cap + n], err=out[3 * hq_cap : 3 * hq_cap + n],
-                    n_hits=n, queue_overflow=q_ovf_b, hit_overflow=h_ovf_b,
-                    max_live=max_live, live_profile=profile,
-                )
-            want_q = _pow2_cap(max_live + _BLK)
-            want_h = _pow2_cap(n_hits + _BLK)
-            old = _CAP_MEMORY.get(cap_key)
-            new_prof = profile.astype(np.int64)
-            if old is not None and old.get("profile") is not None and len(old["profile"]) == len(new_prof):
-                new_prof = np.maximum(old["profile"], new_prof)
-            _CAP_MEMORY[cap_key] = {
-                "q_cap": max(want_q, old["q_cap"] if old else 0),
-                "hq_cap": max(want_h, old["hq_cap"] if old else 0),
-                "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
-                "plan": old.get("plan") if old else None,
-            }
-            _capmem_save()
+            if not _PROFILE_BRANCHES:  # diagnostic runs skip capmem
+                cap_key = st["cap_key"]
+                want_q = _pow2_cap(max_live + _BLK)
+                want_h = _pow2_cap(n_hits + _BLK)
+                old = _CAP_MEMORY.get(cap_key)
+                new_prof = profile.astype(np.int64)
+                if old is not None and old.get("profile") is not None and len(old["profile"]) == len(new_prof):
+                    new_prof = np.maximum(old["profile"], new_prof)
+                _CAP_MEMORY[cap_key] = {
+                    "q_cap": max(want_q, old["q_cap"] if old else 0),
+                    "hq_cap": max(want_h, old["hq_cap"] if old else 0),
+                    "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
+                    "plan": old.get("plan") if old else None,
+                }
+                _capmem_save()
             n = n_hits
             return FlatHits(
                 lane=out[:n],
@@ -1098,16 +1114,39 @@ def run_workq_search(
                 live_profile=profile,
             )
         if q_ovf_b:
-            if use_profile:
+            if st["use_profile"]:
                 # a profiled plan undersized a segment: fall back to a flat
                 # plan at the remembered peak capacity for this retry
-                use_profile = False
-                q_cap = max(q_cap, _pow2_cap(max_live + _BLK)) * 2
+                st["use_profile"] = False
+                st["q_cap"] = max(st["q_cap"], _pow2_cap(max_live + _BLK)) * 2
             else:
-                q_cap *= 2
+                st["q_cap"] *= 2
         if h_ovf_b:
-            hq_cap *= 2
-    raise AssertionError("unreachable")
+            st["hq_cap"] *= 2
+        st["attempt"] += 1
+        _workq_attempt(st)
+
+
+def run_workq_search(
+    index: DeviceIndex,
+    queries: np.ndarray,
+    tape: SchemeTape,
+    **kw,
+) -> FlatHits:
+    """Host wrapper with overflow retry (doubling queue/hit capacity) and
+    live-profile-driven segmented capacity planning.
+
+    ``max_hits`` > 0 engages the in-search work bound at 4x the cap (see
+    ``workq_search``'s ``cap_per_query``): pathological queries stop
+    expanding once saturated; exact per-query capping in canonical order
+    remains the driver's job.
+
+    ``device_tape`` optionally supplies pre-uploaded (side, qpos, lo, hi)
+    device arrays so repeated chunk calls skip the host->device latency.
+
+    Synchronous form of :func:`dispatch_workq` + :func:`collect_workq` —
+    drivers that pipeline chunks use those directly."""
+    return collect_workq(dispatch_workq(index, queries, tape, **kw))
 
 
 def upload_tape(tape: SchemeTape) -> tuple:
