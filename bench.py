@@ -29,7 +29,10 @@ import numpy as np
 BASELINE_QPS_PER_CHIP = 10_000_000 / 60 / 8
 
 REF_MB = float(os.environ.get("SAHARA_BENCH_REF_MB", 40))
-N_QUERIES = int(os.environ.get("SAHARA_BENCH_QUERIES", 8192))
+# 64k reads = 16 pipelined chunks: enough for the dispatch/collect overlap
+# to reach steady state (8192 reads = 2 chunks understates production
+# throughput by ~20% — the pipeline can't hide the last chunk's host work)
+N_QUERIES = int(os.environ.get("SAHARA_BENCH_QUERIES", 65536))
 READ_LEN = 100
 ERRORS = 2
 # `optimum` (solver-derived) does ~33% fewer live row-steps than the
