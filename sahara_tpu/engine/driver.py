@@ -370,7 +370,9 @@ def search_queries(
     for length, idxs in sorted(by_len.items()):
         if length == 0:
             continue
-        qarr = np.stack([np.asarray(queries[i], dtype=np.int32) for i in idxs])
+        # one vectorized cast — a per-query asarray(dtype=int32) costs ~24us
+        # of Python overhead each, ~3s per pass at 131k queries
+        qarr = np.stack([queries[i] for i in idxs]).astype(np.int32, copy=False)
         qids = np.asarray(idxs, dtype=np.int64)
         if query_ids is not None:
             qids = np.asarray(query_ids, dtype=np.int64)[qids]

@@ -1092,15 +1092,21 @@ def collect_workq(st: dict) -> FlatHits:
                 want_h = _pow2_cap(n_hits + _BLK)
                 old = _CAP_MEMORY.get(cap_key)
                 new_prof = profile.astype(np.int64)
-                if old is not None and old.get("profile") is not None and len(old["profile"]) == len(new_prof):
-                    new_prof = np.maximum(old["profile"], new_prof)
+                grown = old is None or old.get("profile") is None
+                if not grown and len(old["profile"]) == len(new_prof):
+                    merged = np.maximum(old["profile"], new_prof)
+                    grown = not np.array_equal(merged, old["profile"])
+                    new_prof = merged
                 _CAP_MEMORY[cap_key] = {
                     "q_cap": max(want_q, old["q_cap"] if old else 0),
                     "hq_cap": max(want_h, old["hq_cap"] if old else 0),
                     "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
                     "plan": old.get("plan") if old else None,
                 }
-                _capmem_save()
+                # skip the (whole-file json) disk write when nothing moved:
+                # in steady state every chunk landed here, ~10-20ms each
+                if grown or old is None or _CAP_MEMORY[cap_key]["q_cap"] != old["q_cap"] or _CAP_MEMORY[cap_key]["hq_cap"] != old["hq_cap"]:
+                    _capmem_save()
             n = n_hits
             return FlatHits(
                 lane=out[:n],
