@@ -69,6 +69,8 @@ _I32_MAX = np.iinfo(np.int32).max
 import os as _os
 
 _PROFILE_BRANCHES = _os.environ.get("SAHARA_PROFILE_BRANCHES", "") == "1"
+# debug/verification knob: force the scatter compaction everywhere
+_COMPACT_SCATTER = _os.environ.get("SAHARA_COMPACT_SCATTER", "") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -428,7 +430,7 @@ def workq_search(
     q_ovf = seed_total > cap0
 
     def make_step(cap, drain):
-        def expand_step(state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, t=None):
+        def expand_step(state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, t=None):
             """One generic step: dedup -> drain -> candidates -> compaction.
 
             With ``packed`` (default), the per-field scalar gathers are
@@ -558,6 +560,7 @@ def workq_search(
                 h_err = jnp.where(upd, jnp.take(err, sel_hc), h_err)
                 hits = (h_lane, h_lb, h_sz, h_err)
                 h_ovf = h_ovf | (n_hits + ftot > hq_cap)
+                n_true = n_true + ftot  # uncapped: sizes the one-shot retry
                 n_hits = jnp.minimum(n_hits + ftot, hq_cap)
                 alive = alive & ~done
                 if cap_per_query:
@@ -622,10 +625,16 @@ def workq_search(
                 (jnp.arange(cap, dtype=jnp.int32)[None, :] << 4)
                 | jnp.arange(e_used, dtype=jnp.int32)[:, None]
             ).reshape(-1)
-            if cap <= (1 << 20):
+            if cap <= (1 << 17) and not _COMPACT_SCATTER:
                 # payload values (cap<<4 | branch) and flag totals stay
                 # inside f32's exact range -> MXU compaction (3.5x the
-                # scatter); the scatter path remains for huge caps
+                # scatter).  Threshold is 2^17, NOT the f32-exactness bound
+                # (2^20): at cap >= 2^18 the axon TPU backend miscompiles
+                # this sequence in the scan context (step outputs collapse
+                # to near-zero live states; bit-identical in isolation and
+                # on CPU — bisected 2026-08-18, cap 131072 good / 262144
+                # bad, scatter path correct at both), so big-cap segments
+                # take the slower-but-correct scatter path below
                 sel, total = _compact_matmul(fl, cand_payload, cap, tri)
             else:
                 pos, total = _positions(fl, tri)
@@ -642,6 +651,11 @@ def workq_search(
                         (cnt_p == 1).sum().astype(jnp.int32),
                         (cnt_p == 2).sum().astype(jnp.int32),
                         jnp.maximum(cnt_p - 2, 0).sum().astype(jnp.int32),
+                        # saturated = alive at the global error budget: such
+                        # states can only extend by exact match for the rest
+                        # of the tape (hi <= k always), i.e. they never
+                        # branch — candidates for a cheap exact-only lane
+                        (alive & (err >= k)).sum().astype(jnp.int32),
                     ]
                 )
             else:
@@ -715,7 +729,7 @@ def workq_search(
 
             new_state = (new_lb, new_lbr, new_sz, new_meta)
             return (
-                new_state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts,
+                new_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts,
                 total if hist_y is None else hist_y,
             )
 
@@ -753,8 +767,8 @@ def workq_search(
 
         def main_body(carry, t):
             state, q_ovf, max_live = carry
-            state, _, _, q_ovf, _, max_live, _, total = step_fn(
-                state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0, t
+            state, _, _, _, q_ovf, _, max_live, _, total = step_fn(
+                state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0, t
             )
             return (state, q_ovf, max_live), total
 
@@ -770,15 +784,15 @@ def workq_search(
     tail_fn = make_step(tail_cap, drain=True)
 
     def tail_body(carry, t):
-        state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts = carry
-        state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, total = tail_fn(
-            state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts, t
+        state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts = carry
+        state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, total = tail_fn(
+            state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, t
         )
-        return (state, hits, n_hits, q_ovf, h_ovf, max_live, hq_counts), total
+        return (state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts), total
 
-    (state, hits, n_hits, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
+    (state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
         tail_body,
-        (state, hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0),
+        (state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0),
         jnp.arange(step_base, step_base + tail_steps, dtype=jnp.int32),
     )
     live_profiles.append(tail_lives)
@@ -790,6 +804,7 @@ def workq_search(
     tailvals = tailvals.at[1].set(q_ovf.astype(jnp.int32))
     tailvals = tailvals.at[2].set(h_ovf.astype(jnp.int32))
     tailvals = tailvals.at[3].set(max_live)
+    tailvals = tailvals.at[4].set(n_true)  # finished-hit count, uncapped
     if _PROFILE_BRANCHES:
         live_profiles = [live_profiles[0]] + [p.reshape(-1) for p in live_profiles[1:]]
     profile = jnp.concatenate(live_profiles)
@@ -938,6 +953,33 @@ def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> 
     return tuple((s, c) for s, c in runs), tail_cap
 
 
+_PROBE_NQ = 1024
+
+
+def _sibling_bootstrap(cap_key: tuple) -> dict | None:
+    """Scaled capacity memory from a sibling workload that differs only in
+    query count: live states scale ~linearly with nq, so a scaled profile
+    skips the flat-capacity first pass; the overflow retry path backstops
+    underestimates."""
+    nq = cap_key[0]
+    sib_best = None
+    for sk, sv in _CAP_MEMORY.items():
+        if len(sk) == len(cap_key) and sk[1:] == cap_key[1:] and sv.get("profile") is not None:
+            if sib_best is None or sk[0] > sib_best[0]:
+                sib_best = (sk[0], sv)
+    if sib_best is None:
+        return None
+    scale = nq / sib_best[0] * 1.25
+    mem = {
+        "q_cap": _pow2_cap(int(sib_best[1]["q_cap"] * scale)),
+        "hq_cap": _pow2_cap(int(sib_best[1]["hq_cap"] * scale)),
+        "profile": np.ceil(sib_best[1]["profile"] * scale).astype(np.int64),
+        "plan": None,
+    }
+    _CAP_MEMORY[cap_key] = mem
+    return mem
+
+
 def _workq_attempt(st: dict) -> None:
     """Select a capacity plan from the attempt state and launch ONE device
     call (async — the result future lands in st['dev_out'])."""
@@ -1029,24 +1071,19 @@ def dispatch_workq(
     cap_key = (nq, ns, m, k, ph0, edit, dedup_every, cap_per_query, int(index.n))
     mem = _CAP_MEMORY.get(cap_key)
     if mem is None:
-        # bootstrap from a sibling workload that differs only in query
-        # count: live states scale ~linearly with nq, so a scaled profile
-        # skips the expensive (and at large nq, fragile) flat-capacity
-        # first pass; the overflow retry path backstops underestimates
-        sib_best = None
-        for sk, sv in _CAP_MEMORY.items():
-            if len(sk) == len(cap_key) and sk[1:] == cap_key[1:] and sv.get("profile") is not None:
-                if sib_best is None or sk[0] > sib_best[0]:
-                    sib_best = (sk[0], sv)
-        if sib_best is not None:
-            scale = nq / sib_best[0] * 1.25
-            mem = {
-                "q_cap": _pow2_cap(int(sib_best[1]["q_cap"] * scale)),
-                "hq_cap": _pow2_cap(int(sib_best[1]["hq_cap"] * scale)),
-                "profile": np.ceil(sib_best[1]["profile"] * scale).astype(np.int64),
-                "plan": None,
-            }
-            _CAP_MEMORY[cap_key] = mem
+        mem = _sibling_bootstrap(cap_key)
+    if mem is None and nq > 2 * _PROBE_NQ and not _PROFILE_BRANCHES:
+        # cold start at large nq: profile a small query slice first, then
+        # scale its live profile up.  This keeps the first full-size call on
+        # a segmented plan — the flat-capacity first pass at >=2^18 caps
+        # MISCOMPILES on the axon TPU backend (near-empty hit sets/phantom
+        # overflow flags; small flat caps and all segmented plans are fine)
+        run_workq_search(
+            index, np.asarray(queries)[:_PROBE_NQ], tape, edit=edit,
+            device_tape=device_tape, dedup=dedup_every > 0,
+            dedup_every=dedup_every, max_hits=max_hits, packed=packed,
+        )
+        mem = _sibling_bootstrap(cap_key)
     use_profile = mem is not None and mem.get("profile") is not None
     if mem is None:
         q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult)
@@ -1080,8 +1117,12 @@ def collect_workq(st: dict) -> FlatHits:
         q_ovf_b = bool(out[4 * hq_cap + 1])
         h_ovf_b = bool(out[4 * hq_cap + 2])
         max_live = int(out[4 * hq_cap + 3])
+        n_true = int(out[4 * hq_cap + 4])
         profile = out[4 * hq_cap + 8 :]
-        if not (q_ovf_b or h_ovf_b) or st["attempt"] == st["max_retries"] - 1:
+        at_cap_limit = (q_ovf_b and st["q_cap"] >= 1 << 23) or (
+            h_ovf_b and st["hq_cap"] >= 1 << 23
+        )
+        if not (q_ovf_b or h_ovf_b) or st["attempt"] == st["max_retries"] - 1 or at_cap_limit:
             # remember the observed peaks for future calls, quantized to
             # powers of two to bound the number of compiled variants; the
             # stored values only grow across chunks, so they converge to
@@ -1089,7 +1130,7 @@ def collect_workq(st: dict) -> FlatHits:
             if not _PROFILE_BRANCHES:  # diagnostic runs skip capmem
                 cap_key = st["cap_key"]
                 want_q = _pow2_cap(max_live + _BLK)
-                want_h = _pow2_cap(n_hits + _BLK)
+                want_h = _pow2_cap(n_true + _BLK)
                 old = _CAP_MEMORY.get(cap_key)
                 new_prof = profile.astype(np.int64)
                 grown = old is None or old.get("profile") is None
@@ -1120,15 +1161,14 @@ def collect_workq(st: dict) -> FlatHits:
                 live_profile=profile,
             )
         if q_ovf_b:
-            if st["use_profile"]:
-                # a profiled plan undersized a segment: fall back to a flat
-                # plan at the remembered peak capacity for this retry
-                st["use_profile"] = False
-                st["q_cap"] = max(st["q_cap"], _pow2_cap(max_live + _BLK)) * 2
-            else:
-                st["q_cap"] *= 2
+            # max_live is the TRUE uncapped queue peak, so one retry jumps
+            # straight to a sufficient capacity (the 2x floor keeps progress
+            # monotone if max_live itself was distorted by the overflow)
+            st["use_profile"] = False  # fall back to a flat plan on retry
+            st["q_cap"] = min(max(st["q_cap"] * 2, _pow2_cap(max_live + _BLK)), 1 << 23)
         if h_ovf_b:
-            st["hq_cap"] *= 2
+            # n_true is the uncapped finished-hit count: jump, don't ladder
+            st["hq_cap"] = min(max(st["hq_cap"] * 2, _pow2_cap(n_true + _BLK)), 1 << 23)
         st["attempt"] += 1
         _workq_attempt(st)
 
