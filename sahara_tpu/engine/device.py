@@ -47,6 +47,11 @@ class DeviceIndex:
     # words per folded occ row / sampled row (1 = planar legacy layout)
     fold: int = dataclasses.field(default=1, metadata=dict(static=True))
     fold_s: int = dataclasses.field(default=1, metadata=dict(static=True))
+    # packed indexed text (index/textstore.py) + per-sequence start offsets
+    # in the padded layout — present iff the host index carries a text store;
+    # consumed by the seed-and-verify engine (engine/seedverify.py)
+    text4: jax.Array | None = None  # int32[ceil(n/8)]
+    seq_starts: jax.Array | None = None  # int32[num_seqs]
 
     @property
     def bidirectional(self) -> bool:
@@ -105,6 +110,10 @@ class DeviceIndex:
             sigma_live=min(sigma_live, int(index.sigma)),
             fold=fold,
             fold_s=fold_s,
+            text4=put(np.asarray(index.text4, dtype=np.int32)) if index.text4 is not None else None,
+            seq_starts=(
+                put(index.seq_starts().astype(np.int32)) if index.text4 is not None else None
+            ),
         )
 
 

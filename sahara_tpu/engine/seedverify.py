@@ -1,0 +1,457 @@
+"""Seed-and-verify search engine: pigeonhole exact seeding + banded verify.
+
+The third engine (after ``approx`` and ``workq``), and the TPU-first
+inversion of the whole search problem.  The reference — and the two scheme
+engines here — carry *approximate* search through FM space
+(search.cpp:227-240): every error branch multiplies live states, so the
+per-query cost explodes with k.  On a TPU the cheap resource is dense
+vectorized arithmetic, so this engine does the opposite:
+
+1. **Seed**: split each query into k+1 contiguous parts.  Any occurrence
+   with <= k errors aligns at least one part *exactly* (pigeonhole over the
+   alignment's error positions), so exact backward search of every part
+   finds a witness for every hit.  Exact search needs no queue at all: all
+   nq*(k+1) part lanes step in lockstep through one scan — ~m occ rows per
+   query TOTAL, where the scheme engines pay per live *state*.
+2. **Expand**: part SA intervals -> candidate rows (exact host-side ragged
+   expansion, no overflow possible).
+3. **Verify**: LF-walk each candidate row to its text position (the
+   existing locate kernel), then check the *full query* against the packed
+   text store around the anchor with a banded minimal-span edit DP
+   ((2k+1) candidate starts x (2k+1) band, unit-cost VPU ops) — emitting
+   located hits directly.  There is no separate locate phase: the verified
+   position IS the hit position.
+
+Hit contract: identical to the scheme engines — every (queryId, seqId,
+pos) whose minimal-span edit (or Hamming) distance is <= k, with the
+minimal error count per position (tests/util.py::brute_edit_hits_minimal
+is the spec; property-tested against it and against the workq engine).
+Sentinel barriers: window characters with rank 0 (sequence padding) can
+neither match, substitute, nor delete, so alignments never cross sequence
+boundaries — mirroring FM-space extension, which only ever extends by
+symbols >= 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sahara_tpu.engine.device import DeviceIndex
+from sahara_tpu.engine.locate import lf_walk
+from sahara_tpu.engine.rank import occ_row_word, rank_all_from_row
+
+_BLK = 512
+_INF = jnp.int32(1 << 20)
+
+MIN_PART = 10  # shortest exact part worth seeding with (else candidate blowup)
+
+
+def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int], ...] | None:
+    """Balanced split of an m-char query into k+1 parts: ((off, len), ...).
+    None when the parts would be too short to filter effectively."""
+    p = k + 1
+    if m // p < min_part:
+        return None
+    base, rem = divmod(m, p)
+    parts = []
+    off = 0
+    for i in range(p):
+        ln = base + (1 if i < rem else 0)
+        parts.append((off, ln))
+        off += ln
+    return tuple(parts)
+
+
+def sv_eligible(index: DeviceIndex, m: int, k: int) -> bool:
+    return (
+        index.text4 is not None
+        and index.seq_starts is not None
+        and k <= 7
+        and plan_parts(m, k) is not None
+    )
+
+
+# --------------------------------------------------------------------------
+# phase 1: exact part seeding (one lockstep scan, no queue)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("parts",))
+def seed_parts(
+    index: DeviceIndex,
+    queries: jax.Array,  # int32[nq, m]
+    parts: tuple[tuple[int, int], ...],
+) -> jax.Array:
+    """Exact backward search of every (query, part) lane against the
+    forward occ table.  Returns ONE packed int32[2 * nq * P]: lo | sz."""
+    occ, c_arr, sigma = index.occ, index.c_arr, index.sigma
+    nq = queries.shape[0]
+    p_cnt = len(parts)
+    maxlen = max(ln for _, ln in parts)
+    sym_iota = jnp.arange(sigma, dtype=jnp.int32)[None, :]
+
+    lo = jnp.zeros((nq, p_cnt), dtype=jnp.int32)
+    hi = jnp.full((nq, p_cnt), jnp.int32(index.n))
+
+    # unrolled lockstep: step t consumes char off+len-1-t of every part still
+    # active (static per step), one fused two-edge rank gather for all parts
+    for t in range(maxlen):
+        cols = [off + max(ln - 1 - t, 0) for off, ln in parts]
+        act = [ln > t for _, ln in parts]
+        c = jnp.stack([queries[:, col] for col in cols], axis=1)  # [nq, P]
+        pos = jnp.concatenate([lo.reshape(-1), hi.reshape(-1)])
+        rows = occ_row_word(occ, pos >> 5, index.fold, 2 * sigma)
+        ranks = rank_all_from_row(rows, sigma, pos)
+        ranks = lax.optimization_barrier(ranks)
+        r_lo = ranks[: nq * p_cnt].reshape(nq, p_cnt, sigma)
+        r_hi = ranks[nq * p_cnt :].reshape(nq, p_cnt, sigma)
+        eq = sym_iota[:, None, :] == c[:, :, None]
+        base = jnp.where(eq, c_arr[None, None, :sigma], 0).sum(axis=2)
+        new_lo = base + jnp.where(eq, r_lo, 0).sum(axis=2)
+        new_hi = base + jnp.where(eq, r_hi, 0).sum(axis=2)
+        act_m = jnp.asarray(act, dtype=bool)[None, :]
+        lo = jnp.where(act_m, new_lo, lo)
+        hi = jnp.where(act_m, new_hi, hi)
+
+    sz = jnp.maximum(hi - lo, 0)
+    return jnp.concatenate([lo.reshape(-1), sz.reshape(-1)])
+
+
+def expand_seeds(
+    packed: np.ndarray, nq: int, parts: tuple[tuple[int, int], ...], active: np.ndarray | None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host ragged expansion of part intervals into candidate rows.
+
+    Returns (rows int32[R] — SA rows, q_of int32[R], off_of int32[R] — the
+    part's query offset).  Exact (host-side), so candidates can never
+    overflow a device buffer."""
+    p_cnt = len(parts)
+    lo = packed[: nq * p_cnt].astype(np.int64)
+    sz = packed[nq * p_cnt :].astype(np.int64)
+    if active is not None:
+        sz = np.where(np.repeat(np.asarray(active, dtype=bool), p_cnt), sz, 0)
+    total = int(sz.sum())
+    lane = np.repeat(np.arange(nq * p_cnt, dtype=np.int64), sz)
+    excl = np.concatenate([[0], np.cumsum(sz)[:-1]])
+    rows = (lo[lane] + (np.arange(total, dtype=np.int64) - np.repeat(excl, sz))).astype(np.int32)
+    offs = np.asarray([off for off, _ in parts], dtype=np.int32)
+    q_of = (lane // p_cnt).astype(np.int32)
+    off_of = offs[(lane % p_cnt).astype(np.int32)]
+    return rows, q_of, off_of
+
+
+# --------------------------------------------------------------------------
+# phase 2: locate + window gather + banded minimal-span DP verify
+# --------------------------------------------------------------------------
+
+
+def _gather_windows(index: DeviceIndex, base: jax.Array, wlen: int) -> jax.Array:
+    """Ranks of text[base .. base+wlen) per candidate: [R, wlen] int32.
+    Out-of-range positions read as rank 0 (sentinel)."""
+    n = index.n
+    nw = index.text4.shape[0]
+    wbase = base >> 3
+    nwords = wlen // 8 + 2
+    widx = wbase[:, None] + jnp.arange(nwords, dtype=jnp.int32)[None, :]
+    words = jnp.take(index.text4, jnp.clip(widx, 0, nw - 1))  # [R, nwords]
+    words = lax.optimization_barrier(words)
+    off8 = base & 7
+    # unpack every gathered nibble once (pure elementwise), then select the
+    # rank-offset alignment from 8 STATIC slices — no dynamic lane gathers
+    uwords = lax.bitcast_convert_type(words, jnp.uint32)
+    shifts = jnp.asarray(4 * np.arange(8, dtype=np.uint32))[None, None, :]
+    allr = lax.bitcast_convert_type(
+        (uwords[:, :, None] >> shifts) & jnp.uint32(0xF), jnp.int32
+    ).reshape(base.shape[0], nwords * 8)
+    out = allr[:, :wlen]
+    for o in range(1, 8):
+        out = jnp.where((off8 == o)[:, None], allr[:, o : o + wlen], out)
+    pos = base[:, None] + jnp.arange(wlen, dtype=jnp.int32)[None, :]
+    return jnp.where((pos >= 0) & (pos < n), out, 0)
+
+
+def _positions_f32(flags: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Exclusive positions of set flags via f32 matmul prefix sums (int32
+    cumsum serializes on the TPU backend — see workq._positions)."""
+    n = flags.shape[0]
+    rows = n // _BLK
+    tri = jnp.triu(jnp.ones((_BLK, _BLK), dtype=jnp.float32))
+    f = flags.reshape(rows, _BLK).astype(jnp.float32)
+    incl = jnp.dot(f, tri, preferred_element_type=jnp.float32)
+    row_tot = incl[:, -1]
+    row_off = jnp.cumsum(row_tot) - row_tot
+    pos = (incl - f + row_off[:, None]).astype(jnp.int32).reshape(-1)
+    total = (row_off[-1] + row_tot[-1]).astype(jnp.int32)
+    return pos, total
+
+
+@partial(jax.jit, static_argnames=("m", "k", "edit", "hq_cap"))
+def sv_verify(
+    index: DeviceIndex,
+    queries: jax.Array,  # int32[nq, m]
+    rows: jax.Array,  # int32[capR] SA rows (padded)
+    q_of: jax.Array,  # int32[capR]
+    off_of: jax.Array,  # int32[capR]
+    valid: jax.Array,  # bool[capR]
+    *,
+    m: int,
+    k: int,
+    edit: bool,
+    hq_cap: int,
+) -> jax.Array:
+    """Locate candidate rows and verify the full query around each anchor.
+
+    Returns ONE packed int32[3*hq_cap + 8]: hit candidate-ids | abs text
+    positions | error counts | (count, hit_overflow, pad...).  The id
+    encodes (delta * capR + candidate), host-decodable with q_of."""
+    capR = rows.shape[0]
+    assert capR % _BLK == 0
+    S = 2 * k + 1 if edit else 1  # candidate starts per anchor
+    B = 2 * k + 1  # DP band width
+    assert capR * S < 1 << 24, "f32 prefix-sum exactness bound"
+
+    # --- locate: SA row -> absolute text position of the part match -------
+    seq_id, pos = lf_walk(index, jnp.where(valid, rows, 0), valid)
+    seq_id_c = jnp.clip(seq_id, 0, index.seq_starts.shape[0] - 1)
+    abs_pos = jnp.take(index.seq_starts, seq_id_c) + pos
+    a0 = abs_pos - off_of  # anchor: query start if no indels before the part
+    base = a0 - (k if edit else 0)  # window origin (earliest candidate start)
+
+    wlen = m + (3 * k if edit else 0) + 1
+    wlen = -(-wlen // 8) * 8  # round up so the unpack variants stay static
+    W = _gather_windows(index, base, wlen)  # [capR, wlen] ranks, 0 = sentinel/OOB
+    Q = jnp.take(queries, jnp.minimum(q_of, queries.shape[0] - 1), axis=0)  # [capR, m]
+    Q = lax.optimization_barrier(Q)
+
+    if not edit:
+        # Hamming: single start (p = a0), exact span of m chars; sentinels
+        # (rank 0) poison the span (oracle requires p + m <= seq length)
+        wm = W[:, :m]
+        mism = jnp.sum((wm != Q).astype(jnp.int32), axis=1)
+        dist = jnp.where(jnp.any(wm == 0, axis=1), _INF, mism)  # [capR]
+        dist = dist[:, None]  # [capR, 1]
+    else:
+        # Banded minimal-span edit DP, all S starts at once.
+        # For start delta (p = base + delta), DP cell (i, j): j = i - k + c,
+        # c in [0, B).  Window char for (delta, c) at DP row i lives at
+        # W[:, delta + i - k + c - 1] -> rolling-buffer column delta + c.
+        # a = oracle's A matrix (first span char consumed by match/sub:
+        # no deletion may enter column j == 1); b = A plus "last char
+        # consumed by match/sub"; dist = min_j b[m][j].
+        c_iota = jnp.arange(B, dtype=jnp.int32)[None, None, :]  # [1, 1, B]
+        d_iota = jnp.arange(S, dtype=jnp.int32)[None, :, None]  # [1, S, 1]
+
+        # a[0][j]: j == 0 -> 0, j > 0 unreachable (w chars only consumed
+        # via M/S through sub0, which needs i >= 1)
+        j0 = 0 - k + c_iota  # j at i=0
+        a_st = jnp.where(jnp.broadcast_to(j0 == 0, (capR, S, B)), 0, _INF)
+        b_st = jnp.full((capR, S, B), _INF)
+        dist_st = jnp.full((capR, S), _INF)
+
+        # rolling window buffer: before step i it holds W columns
+        # [i-k-2 .. i+3k-2]; each step rolls in column i + 3k - 1.
+        # initialize for i=1: columns [-k-1 .. 3k-1) with negatives = 0
+        width = 4 * k + 1
+        neg = k + 1  # columns -k-1..-1
+        buf0 = jnp.concatenate(
+            [jnp.zeros((capR, neg), dtype=jnp.int32), W[:, : width - neg]], axis=1
+        )
+        xs_cols = W[:, 3 * k - 1 + 1 : 3 * k + m].T  # column i+3k-1 for i=1..m -> [m, capR]
+        q_xs = Q.T  # [m, capR]
+        i_xs = jnp.arange(1, m + 1, dtype=jnp.int32)
+
+        def dp_step(carry, xs):
+            a_prev, b_prev, dist_acc, buf = carry
+            w_new, q_i, i = xs
+            buf = jnp.concatenate([buf[:, 1:], w_new[:, None]], axis=1)
+            # w char per (delta, c): buffer column delta + c (static slices)
+            wch = jnp.stack([buf[:, d : d + B] for d in range(S)], axis=1)  # [capR, S, B]
+            j = i - k + c_iota  # [1, 1, B] broadcast j per band cell
+            sub = jnp.where(wch == q_i[:, None, None], 0, 1)
+            sub = jnp.where(wch == 0, _INF, sub)  # sentinel: no match/sub
+            dele = jnp.where(wch == 0, _INF, 1)  # sentinel: no deletion
+            # shifted a_prev: diag c' = c (same col), up c' = c + 1
+            up = jnp.concatenate([a_prev[:, :, 1:], jnp.full((capR, S, 1), _INF)], axis=2)
+            cand = jnp.minimum(a_prev + sub, up + 1)
+            # base column j == 0: a[i][0] = i (leading query insertions)
+            cand = jnp.where(j == 0, i, cand)
+            cand = jnp.where(j < 0, _INF, cand)
+            # left (deletion) chain within the row; j == 1 admits none
+            a_cur = cand
+            for c in range(1, B):
+                left = a_cur[:, :, c - 1] + dele[:, :, c]
+                left = jnp.where(j[0, 0, c] == 1, _INF, left)
+                a_cur = a_cur.at[:, :, c].set(jnp.minimum(a_cur[:, :, c], left))
+            # b: last char consumed by match/sub
+            b_up = jnp.concatenate([b_prev[:, :, 1:], jnp.full((capR, S, 1), _INF)], axis=2)
+            b_cur = jnp.minimum(a_prev + sub, b_up + 1)
+            b_cur = jnp.where(j <= 0, _INF, b_cur)
+            dist_acc = jnp.where(i == m, jnp.min(b_cur, axis=2), dist_acc)
+            return (a_cur, b_cur, dist_acc, buf), None
+
+        (a_st, b_st, dist, buf0), _ = lax.scan(
+            dp_step, (a_st, b_st, dist_st, buf0), (xs_cols, q_xs, i_xs)
+        )
+
+    # --- emit: compact (candidate, delta) pairs with dist <= k ------------
+    flags = (dist <= k) & valid[:, None]  # [capR, S]
+    fl = flags.T.reshape(-1)  # delta-major
+    pos_all = (base[None, :] + jnp.arange(S, dtype=jnp.int32)[:, None]).reshape(-1)
+    err_all = dist.T.reshape(-1)
+    hpos, total = _positions_f32(fl)
+    dest = jnp.where(fl, hpos, hq_cap)
+    # scatter the delta-major FLAT slot index (delta * capR + cand), then
+    # gather pos/err by slot: ids value == slot for this layout
+    slot = jnp.arange(S * capR, dtype=jnp.int32)
+    sel = jnp.full(hq_cap, -1, dtype=jnp.int32).at[dest].set(slot, mode="drop")
+    sel = lax.optimization_barrier(sel)
+    got = sel >= 0
+    sel_c = jnp.maximum(sel, 0)
+    h_pos = jnp.where(got, jnp.take(pos_all, sel_c), -1)
+    h_err = jnp.where(got, jnp.take(err_all, sel_c), 0)
+    tail = jnp.zeros(8, dtype=jnp.int32)
+    tail = tail.at[0].set(jnp.minimum(total, hq_cap))
+    tail = tail.at[1].set((total > hq_cap).astype(jnp.int32))
+    return jnp.concatenate([jnp.where(got, sel, -1), h_pos, h_err, tail])
+
+
+# --------------------------------------------------------------------------
+# host driver
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class SvHits:
+    """Verified, located hits (absolute text positions)."""
+
+    q_idx: np.ndarray  # int32[H] — local query index
+    abs_pos: np.ndarray  # int64[H] — position in the padded text layout
+    err: np.ndarray  # int32[H]
+
+
+def _quant(x: int) -> int:
+    """512-multiple with ~3 significant bits (compile-variant bound)."""
+    x = max(int(x), _BLK)
+    step = max(_BLK, 1 << (max(x - 1, 1).bit_length() - 3))
+    return -(-x // step) * step
+
+
+def dispatch_sv(
+    index: DeviceIndex,
+    queries: np.ndarray,  # int32[nq, m]
+    k: int,
+    *,
+    edit: bool,
+    active: np.ndarray | None = None,
+    queries_dev: jax.Array | None = None,
+) -> dict:
+    """Launch the seed phase asynchronously; collect with collect_sv."""
+    nq, m = queries.shape
+    parts = plan_parts(m, k)
+    if parts is None:
+        raise ValueError(f"seed-verify not applicable: m={m}, k={k}")
+    qdev = jnp.asarray(queries, dtype=jnp.int32) if queries_dev is None else queries_dev
+    fut = seed_parts(index, qdev, parts)
+    return {
+        "fut": fut, "qdev": qdev, "nq": nq, "m": m, "k": k, "edit": edit,
+        "parts": parts, "active": active, "index": index,
+    }
+
+
+_MAX_CAPR = 1 << 20  # verify slice bound (capR * S < 2^24 for S <= 15, k <= 7)
+
+
+def collect_sv_expand(st: dict) -> None:
+    """Block on the seed result and host-expand candidates (phase between
+    the two device calls — split out so drivers can pipeline)."""
+    packed = np.asarray(st["fut"])
+    rows, q_of, off_of = expand_seeds(packed, st["nq"], st["parts"], st["active"])
+    st["cands"] = (rows, q_of, off_of)
+
+
+def dispatch_sv_verify(st: dict, hit_mult: int = 8) -> None:
+    """Launch verify call(s) for the expanded candidates (async)."""
+    index, m, k, edit = st["index"], st["m"], st["k"], st["edit"]
+    rows, q_of, off_of = st["cands"]
+    futs = []
+    for s in range(0, max(len(rows), 1), _MAX_CAPR):
+        r = rows[s : s + _MAX_CAPR]
+        capR = _quant(len(r))
+        pad = capR - len(r)
+        rr = np.pad(r, (0, pad)).astype(np.int32)
+        qq = np.pad(q_of[s : s + _MAX_CAPR], (0, pad)).astype(np.int32)
+        oo = np.pad(off_of[s : s + _MAX_CAPR], (0, pad)).astype(np.int32)
+        vv = np.zeros(capR, dtype=bool)
+        vv[: len(r)] = True
+        hq_cap = _quant(max(2 * len(r), hit_mult * 64))
+        futs.append(
+            (
+                sv_verify(
+                    index, st["qdev"], jnp.asarray(rr), jnp.asarray(qq), jnp.asarray(oo),
+                    jnp.asarray(vv), m=m, k=k, edit=edit, hq_cap=hq_cap,
+                ),
+                qq, capR, hq_cap, s,
+            )
+        )
+    st["vfuts"] = futs
+
+
+def collect_sv(st: dict) -> SvHits:
+    """Block on verify calls; retry any slice whose hit buffer overflowed."""
+    index, m, k, edit = st["index"], st["m"], st["k"], st["edit"]
+    out_q, out_p, out_e = [], [], []
+    for fut, qq, capR, hq_cap, s in st["vfuts"]:
+        while True:
+            packed = np.asarray(fut)
+            cnt = int(packed[3 * hq_cap])
+            ovf = bool(packed[3 * hq_cap + 1])
+            if not ovf:
+                break
+            hq_cap = _quant(hq_cap * 4)
+            rows, q_of, off_of = st["cands"]
+            r = rows[s : s + _MAX_CAPR]
+            pad = capR - len(r)
+            rr = np.pad(r, (0, pad)).astype(np.int32)
+            oo = np.pad(off_of[s : s + _MAX_CAPR], (0, pad)).astype(np.int32)
+            vv = np.zeros(capR, dtype=bool)
+            vv[: len(r)] = True
+            fut = sv_verify(
+                index, st["qdev"], jnp.asarray(rr), jnp.asarray(qq), jnp.asarray(oo),
+                jnp.asarray(vv), m=m, k=k, edit=edit, hq_cap=hq_cap,
+            )
+        ids = packed[:cnt]
+        pos = packed[hq_cap : hq_cap + cnt]
+        err = packed[2 * hq_cap : 2 * hq_cap + cnt]
+        cand = ids % capR
+        out_q.append(qq[cand])
+        out_p.append(pos.astype(np.int64))
+        out_e.append(err)
+    if not out_q:
+        z = np.zeros(0, dtype=np.int64)
+        return SvHits(z.astype(np.int32), z, z.astype(np.int32))
+    return SvHits(
+        q_idx=np.concatenate(out_q).astype(np.int32),
+        abs_pos=np.concatenate(out_p),
+        err=np.concatenate(out_e).astype(np.int32),
+    )
+
+
+def run_sv_search(
+    index: DeviceIndex,
+    queries: np.ndarray,
+    k: int,
+    *,
+    edit: bool,
+    active: np.ndarray | None = None,
+) -> SvHits:
+    """Synchronous seed -> expand -> verify for one query chunk."""
+    st = dispatch_sv(index, queries, k, edit=edit, active=active)
+    collect_sv_expand(st)
+    dispatch_sv_verify(st)
+    return collect_sv(st)

@@ -13,7 +13,14 @@ import numpy as np
 
 from sahara_tpu.index.fmindex import BiFMIndex, FMIndex
 from sahara_tpu.index.occtable import build_occ
+from sahara_tpu.index.textstore import pack_text4
 from sahara_tpu.native import suffix_array
+
+
+def _pack_text_opt(text: np.ndarray, sigma: int) -> np.ndarray | None:
+    """Packed text store for the seed-and-verify engine (sigma <= 15 only —
+    large-alphabet kmer indexes search exact and never need it)."""
+    return pack_text4(text) if sigma <= 15 else None
 
 
 def build_text(seqs: list[np.ndarray], rate: int) -> tuple[np.ndarray, np.ndarray]:
@@ -76,6 +83,7 @@ def build_fmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: 
         sample_seq=sseq,
         sample_pos=spos,
         seq_lens=seq_lens,
+        text4=_pack_text_opt(text, sigma),
     )
 
 
@@ -102,5 +110,6 @@ def build_bifmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate
         sample_seq=sseq,
         sample_pos=spos,
         seq_lens=seq_lens,
+        text4=_pack_text_opt(text, sigma),
         occ_rev=occ_rev,
     )

@@ -20,7 +20,8 @@ import json
 
 import numpy as np
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2  # v2 adds the optional packed text store (text4)
+_READABLE_VERSIONS = (1, 2)
 
 
 @dataclasses.dataclass
@@ -37,6 +38,10 @@ class FMIndex:
     sample_seq: np.ndarray  # int32[S] — seqId per sampled row (row-rank order)
     sample_pos: np.ndarray  # int32[S] — seqPos per sampled row
     seq_lens: np.ndarray  # int64[m] — original sequence lengths
+    # packed indexed text (index/textstore.py), int32[ceil(n/8)] or None for
+    # indexes built before v2 / with sigma > 15.  Feeds the seed-and-verify
+    # engine; every search path works without it (workq fallback).
+    text4: np.ndarray | None = None
 
     @property
     def num_seqs(self) -> int:
@@ -44,6 +49,13 @@ class FMIndex:
 
     def size(self) -> int:
         return self.n
+
+    def seq_starts(self) -> np.ndarray:
+        """Start offset of each sequence in the padded text layout
+        (recomputed from seq_lens — the layout is deterministic,
+        see build.build_text)."""
+        padded = (self.seq_lens + self.rate) // self.rate * self.rate
+        return np.concatenate([[0], np.cumsum(padded)[:-1]]).astype(np.int64)
 
 
 @dataclasses.dataclass
@@ -73,6 +85,8 @@ def save_index(path: str, index: FMIndex) -> None:
     }
     if isinstance(index, BiFMIndex):
         arrays["occ_rev"] = index.occ_rev
+    if index.text4 is not None:
+        arrays["text4"] = index.text4
     if hasattr(path, "write"):
         np.savez(path, **arrays)
     else:
@@ -83,9 +97,10 @@ def save_index(path: str, index: FMIndex) -> None:
 def load_index(path: str) -> FMIndex:
     with np.load(path) as data:
         meta = json.loads(bytes(data["meta"]).decode())
-        if meta["format_version"] != FORMAT_VERSION:
+        if meta["format_version"] not in _READABLE_VERSIONS:
             raise ValueError(f"unknown file format version for index: {meta['format_version']}")
         common = dict(
+            text4=data["text4"] if "text4" in data.files else None,
             sigma=meta["sigma"],
             alphabet_name=meta["alphabet"],
             rate=meta["rate"],

@@ -144,9 +144,13 @@ def load_any_index(path: str):
 
     with np.load(path) as data:
         meta = json.loads(bytes(data["meta"]).decode())
-        if meta["format_version"] == 1:
-            pass  # fall through to the plain loader below (re-opens the file)
-        elif meta["format_version"] == SHARD_FORMAT_VERSION:
+        # dispatch on `kind`: plain indexes ("bi"/"uni") carry their own
+        # format_version namespace (fmindex.py), sharded containers theirs
+        if meta.get("kind") == "sharded":
+            if meta["format_version"] != SHARD_FORMAT_VERSION:
+                raise ValueError(
+                    f"unknown file format version for sharded index: {meta['format_version']}"
+                )
             shards, gids, offs = [], [], []
             for i in range(meta["num_shards"]):
                 shards.append(_load_plain(io.BytesIO(bytes(data[f"shard{i}"]))))
@@ -159,6 +163,4 @@ def load_any_index(path: str):
                 num_seqs=meta["num_seqs"],
                 windowed_gids=data["windowed_gids"],
             )
-        else:
-            raise ValueError(f"unknown file format version for index: {meta['format_version']}")
     return _load_plain(path)

@@ -1,0 +1,141 @@
+"""Seed-and-verify engine: oracle equality (the engine's hit contract is
+identical to the scheme engines' — tests/util.py::brute_edit_hits_minimal
+and brute_approx_hits(hamming) are the spec)."""
+
+import numpy as np
+import pytest
+
+from sahara_tpu.engine.device import DeviceIndex
+from sahara_tpu.engine.seedverify import plan_parts, run_sv_search, sv_eligible
+from sahara_tpu.index.build import build_bifmindex
+from sahara_tpu.index.textstore import pack_text4, unpack_text4
+
+from tests.util import brute_approx_hits, brute_edit_hits_minimal, random_seqs
+
+
+def _hits_as_set(host, sv):
+    starts = host.seq_starts()
+    seq = np.searchsorted(starts, sv.abs_pos, side="right") - 1
+    pos = sv.abs_pos - starts[seq]
+    return set(zip(seq.tolist(), pos.tolist(), sv.q_idx.tolist()))
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    for n in (0, 1, 7, 8, 9, 1000):
+        t = rng.integers(0, 16, n).astype(np.uint8)
+        assert np.array_equal(unpack_text4(pack_text4(t), n), t)
+
+
+def test_plan_parts():
+    assert plan_parts(100, 2) == ((0, 34), (34, 33), (67, 33))
+    assert plan_parts(36, 2) == ((0, 12), (12, 12), (24, 12))
+    assert plan_parts(20, 2) is None  # parts would be < MIN_PART
+    assert plan_parts(12, 0) == ((0, 12),)
+
+
+@pytest.mark.parametrize("edit", [True, False])
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_sv_matches_oracle(edit, k):
+    rng = np.random.default_rng(42 + k + (100 if edit else 0))
+    seqs = random_seqs(rng, 4, min_len=60, max_len=160, sigma=5)
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m = 36
+    assert sv_eligible(dev, m, k)
+
+    queries = []
+    for _ in range(24):
+        sid = int(rng.integers(0, len(seqs)))
+        s = seqs[sid]
+        if len(s) < m + k + 1:
+            continue
+        p = int(rng.integers(0, len(s) - m - k))
+        q = np.array(s[p : p + m], dtype=np.uint8)
+        # plant up to k errors
+        for _ in range(int(rng.integers(0, k + 1))):
+            kind = int(rng.integers(0, 3)) if edit else 0
+            at = int(rng.integers(0, len(q)))
+            if kind == 0:
+                q[at] = 1 + (q[at] - 1 + 1) % 4
+            elif kind == 1 and len(q) > 1:
+                q = np.delete(q, at)
+            else:
+                q = np.insert(q, at, rng.integers(1, 5))
+        q = q[:m]
+        if len(q) < m:
+            q = np.concatenate([q, rng.integers(1, 5, m - len(q)).astype(np.uint8)])
+        queries.append(q.astype(np.uint8))
+    # plus pure-random queries (mostly misses)
+    queries += [rng.integers(1, 5, m).astype(np.uint8) for _ in range(8)]
+
+    qarr = np.stack(queries).astype(np.int32)
+    sv = run_sv_search(dev, qarr, k, edit=edit)
+    got = _hits_as_set(host, sv)
+
+    want = set()
+    for qi, q in enumerate(queries):
+        oracle = (
+            brute_edit_hits_minimal(seqs, q, k)
+            if edit
+            else brute_approx_hits(seqs, q, k, hamming=True)
+        )
+        for sid, pos in oracle:
+            want.add((sid, pos, qi))
+    assert got == want
+
+
+@pytest.mark.parametrize("edit", [True, False])
+def test_sv_err_values_minimal(edit):
+    """Reported error counts are the minimal distance at that position."""
+    rng = np.random.default_rng(7)
+    seqs = random_seqs(rng, 2, min_len=100, max_len=150, sigma=5)
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 2
+    # exact copies: minimal distance 0 must be reported even though the
+    # scheme would also admit 1- and 2-error alignments
+    queries = []
+    for _ in range(8):
+        sid = int(rng.integers(0, len(seqs)))
+        p = int(rng.integers(0, len(seqs[sid]) - m))
+        queries.append(np.array(seqs[sid][p : p + m], dtype=np.uint8))
+    qarr = np.stack(queries).astype(np.int32)
+    sv = run_sv_search(dev, qarr, k, edit=edit)
+    starts = host.seq_starts()
+    seq = np.searchsorted(starts, sv.abs_pos, side="right") - 1
+    pos = sv.abs_pos - starts[seq]
+    by_key = {}
+    for qi, s, p, e in zip(sv.q_idx, seq, pos, sv.err):
+        key = (int(qi), int(s), int(p))
+        by_key[key] = min(by_key.get(key, 10**9), int(e))
+    for qi, q in enumerate(queries):
+        # the planted exact copy must be reported with err == 0
+        found0 = [key for key, e in by_key.items() if key[0] == qi and e == 0]
+        assert found0, f"query {qi} lost its exact hit"
+
+
+def test_sv_boundary_and_sentinel():
+    """Hits at sequence edges; alignments must not cross sentinels."""
+    # two sequences where q matches the END of seq0 and the START of seq1
+    s0 = np.array([1, 2, 3, 4] * 10, dtype=np.uint8)
+    s1 = np.array([2, 2, 4, 1] * 10, dtype=np.uint8)
+    seqs = [s0, s1]
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 24, 1
+    queries = [
+        s0[-m:].copy(),  # suffix of seq0
+        s1[:m].copy(),  # prefix of seq1
+        np.concatenate([s0[-12:], s1[:12]]),  # straddles the boundary: no hit
+    ]
+    qarr = np.stack(queries).astype(np.int32)
+    sv = run_sv_search(dev, qarr, k, edit=True)
+    got = _hits_as_set(host, sv)
+    want = set()
+    for qi, q in enumerate(queries):
+        for sid, pos in brute_edit_hits_minimal(seqs, q, k):
+            want.add((sid, pos, qi))
+    assert got == want
+    # the straddling query found nothing
+    assert not any(t[2] == 2 for t in got)
