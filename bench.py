@@ -130,7 +130,23 @@ def main() -> None:
     t_gen = time.monotonic() - t0
 
     t0 = time.monotonic()
-    host = build_bifmindex([ref], 6, "d_dna5", rate=16)
+    idx_cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "sahara_tpu", f"bench_index{REF_MB}_v2.idx"
+    )
+    host = None
+    if CACHE and os.path.exists(idx_cache):
+        from sahara_tpu.index.fmindex import load_index
+
+        try:
+            host = load_index(idx_cache)
+        except ValueError:
+            host = None  # stale format: rebuild
+    if host is None:
+        host = build_bifmindex([ref], 6, "d_dna5", rate=16)
+        if CACHE:
+            from sahara_tpu.index.fmindex import save_index
+
+            save_index(idx_cache, host)
     index = DeviceIndex.from_host(host)
     t_build = time.monotonic() - t0
 

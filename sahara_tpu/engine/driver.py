@@ -26,6 +26,13 @@ from sahara_tpu.engine.workq import (
     run_workq_search,
     upload_tape,
 )
+from sahara_tpu.engine.seedverify import (
+    collect_sv,
+    collect_sv_expand,
+    dispatch_sv,
+    dispatch_sv_verify,
+    sv_eligible,
+)
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
 from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weighted_node_count
 from sahara_tpu.schemes.types import Scheme
@@ -272,6 +279,84 @@ def _run_workq_grouped(
     return _cap_hits_per_query(merged, max_hits)
 
 
+def _run_sv_grouped(
+    index: DeviceIndex,
+    qarr: np.ndarray,
+    qids: np.ndarray,
+    *,
+    k: int,
+    edit: bool,
+    active: np.ndarray | None,
+    max_hits: int,
+    chunk: int,
+) -> SearchResult:
+    """Seed-and-verify engine driver: chunk queries, pipeline the two device
+    calls (chunk i's host expansion overlaps chunk i+1's seed search)."""
+    starts_host = np.asarray(index.seq_starts).astype(np.int64)
+    nq = qarr.shape[0]
+    act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+
+    sts: list[dict] = []
+    prev: dict | None = None
+    for start in range(0, nq, chunk):
+        q = qarr[start : start + chunk]
+        a = act_all[start : start + chunk]
+        ids = qids[start : start + chunk]
+        if q.shape[0] < chunk and nq > chunk:  # pad to the compiled shape
+            pad_n = chunk - q.shape[0]
+            q = np.concatenate([q, np.zeros((pad_n, q.shape[1]), dtype=q.dtype)])
+            a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
+            ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
+        st = dispatch_sv(index, q, k, edit=edit, active=a)
+        st["ids"] = ids
+        sts.append(st)
+        if prev is not None:
+            collect_sv_expand(prev)  # blocks on the PREVIOUS chunk's seed
+            dispatch_sv_verify(prev)
+        prev = st
+    if prev is not None:
+        collect_sv_expand(prev)
+        dispatch_sv_verify(prev)
+
+    results: list[SearchResult] = []
+    for st in sts:
+        hits = collect_sv(st)
+        if len(hits.q_idx) == 0:
+            continue
+        seq = np.searchsorted(starts_host, hits.abs_pos, side="right") - 1
+        pos = hits.abs_pos - starts_host[seq]
+        results.append(
+            SearchResult(
+                query_id=st["ids"][hits.q_idx].astype(np.int64),
+                seq_id=seq.astype(np.int64),
+                pos=pos.astype(np.int64),
+                errors=hits.err.astype(np.int64),
+            )
+        )
+    merged = _merge_results(results)
+    return _cap_hits_per_query(merged, max_hits)
+
+
+def _besthits_filter(result: SearchResult) -> SearchResult:
+    """Keep each query's minimal-error hits only (search_best semantics:
+    the first error stratum with any hit wins, search.cpp:234-240 — for
+    min-err-per-position hit sets that is exactly err == per-query min)."""
+    if len(result.query_id) == 0:
+        return result
+    order = np.argsort(result.query_id, kind="stable")
+    q = result.query_id[order]
+    e = result.errors[order]
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+    run_len = np.diff(np.r_[starts, len(q)])
+    best = np.minimum.reduceat(e, starts)
+    keep_sorted = e == np.repeat(best, run_len)
+    keep = np.zeros(len(q), dtype=bool)
+    keep[order] = keep_sorted
+    return SearchResult(
+        result.query_id[keep], result.seq_id[keep], result.pos[keep], result.errors[keep]
+    )
+
+
 def search_queries_sharded(
     sharded,
     queries: list[np.ndarray],
@@ -349,7 +434,7 @@ def search_queries(
     s_cap: int = 64,
     h_cap: int = 32,
     chunk: int = 1024,
-    engine: str = "workq",
+    engine: str = "auto",
     query_ids: np.ndarray | None = None,
     verbose_cb=None,
 ) -> SearchResult:
@@ -377,6 +462,28 @@ def search_queries(
         if query_ids is not None:
             qids = np.asarray(query_ids, dtype=np.int64)[qids]
 
+        # engine resolution: "auto" prefers seed-and-verify (the cheapest
+        # path by a wide margin) whenever the index carries a text store and
+        # the parts are long enough to filter; scheme engines otherwise
+        use_sv = engine in ("auto", "sv") and mode in ("all", "besthits") and sv_eligible(
+            index, length, k
+        )
+        if engine == "sv" and not use_sv:
+            raise ValueError(
+                "seed-verify engine not applicable (index lacks a text store, "
+                f"or parts too short for m={length}, k={k})"
+            )
+        if use_sv:
+            res = _run_sv_grouped(
+                index, qarr, qids, k=k, edit=edit, active=None,
+                max_hits=0, chunk=chunk,
+            )
+            if mode == "besthits":
+                res = _besthits_filter(res)
+            results.append(_cap_hits_per_query(res, max_hits))
+            continue
+        bucket_engine = "workq" if engine == "auto" else engine
+
         if mode == "all":
             ess = load_scheme(
                 generator_name, 0, k, length, edit=edit, sigma=sigma, n_text=index.n,
@@ -385,7 +492,7 @@ def search_queries(
             if not edit:
                 ess = limit_to_hamming(ess)
             tape = compile_tape(ess)
-            if engine == "workq":
+            if bucket_engine == "workq":
                 results.append(
                     _run_workq_grouped(
                         index, qarr, tape, qids, edit=edit, active=None,
@@ -416,7 +523,7 @@ def search_queries(
                 if not edit:
                     ess = limit_to_hamming(ess)
                 tape = compile_tape(ess)
-                if engine == "workq":
+                if bucket_engine == "workq":
                     res = _run_workq_grouped(
                         index, qarr, tape, qids, edit=edit, active=active,
                         max_hits=max_hits, chunk=chunk,

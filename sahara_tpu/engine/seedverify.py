@@ -47,7 +47,9 @@ from sahara_tpu.engine.locate import lf_walk
 from sahara_tpu.engine.rank import occ_row_word, rank_all_from_row
 
 _BLK = 512
-_INF = jnp.int32(1 << 20)
+# plain int (NOT jnp.int32: a module-level jnp call would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize callers)
+_INF = 1 << 20
 
 MIN_PART = 10  # shortest exact part worth seeding with (else candidate blowup)
 

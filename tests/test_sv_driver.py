@@ -1,0 +1,71 @@
+"""Driver-level equality: the auto-selected seed-verify engine produces the
+same canonical output as the workq scheme engine for all/besthits modes."""
+
+import numpy as np
+import pytest
+
+from sahara_tpu.engine.device import DeviceIndex
+from sahara_tpu.engine.driver import search_queries
+from sahara_tpu.index.build import build_bifmindex
+
+from tests.util import random_seqs
+
+
+def _rows(res):
+    return sorted(zip(res.query_id.tolist(), res.seq_id.tolist(), res.pos.tolist(), res.errors.tolist()))
+
+
+@pytest.fixture(scope="module")
+def workload():
+    rng = np.random.default_rng(11)
+    seqs = random_seqs(rng, 3, min_len=80, max_len=200, sigma=5)
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m = 36
+    queries = []
+    for _ in range(20):
+        sid = int(rng.integers(0, len(seqs)))
+        s = seqs[sid]
+        p = int(rng.integers(0, len(s) - m))
+        q = np.array(s[p : p + m], dtype=np.uint8)
+        nmut = int(rng.integers(0, 3))
+        for _ in range(nmut):
+            at = int(rng.integers(0, m))
+            q[at] = 1 + (q[at] - 1 + 1) % 4
+        queries.append(q)
+    queries += [rng.integers(1, 5, m).astype(np.uint8) for _ in range(4)]
+    return dev, queries
+
+
+@pytest.mark.parametrize("mode", ["all", "besthits"])
+@pytest.mark.parametrize("edit", [True, False])
+def test_sv_equals_workq(workload, mode, edit):
+    dev, queries = workload
+    kw = dict(k=2, edit=edit, mode=mode, chunk=16)
+    r_sv = search_queries(dev, queries, engine="sv", **kw)
+    r_wq = search_queries(dev, queries, engine="workq", **kw)
+    assert _rows(r_sv) == _rows(r_wq)
+
+
+def test_sv_max_hits(workload):
+    dev, queries = workload
+    r_sv = search_queries(dev, queries, k=1, edit=True, max_hits=2, engine="sv", chunk=16)
+    r_wq = search_queries(dev, queries, k=1, edit=True, max_hits=2, engine="workq", chunk=16)
+    assert _rows(r_sv) == _rows(r_wq)
+    counts = np.unique(r_sv.query_id, return_counts=True)[1]
+    assert counts.max(initial=0) <= 2
+
+
+def test_auto_picks_sv_and_falls_back(workload):
+    dev, queries = workload
+    # m=36, k=2 -> eligible; auto == sv
+    r_auto = search_queries(dev, queries, k=2, edit=True, chunk=16)
+    r_sv = search_queries(dev, queries, k=2, edit=True, engine="sv", chunk=16)
+    assert _rows(r_auto) == _rows(r_sv)
+    # short queries (parts < MIN_PART) -> auto falls back to workq silently
+    short = [q[:20] for q in queries[:6]]
+    r_short = search_queries(dev, short, k=2, edit=True, chunk=8)
+    r_short_wq = search_queries(dev, short, k=2, edit=True, engine="workq", chunk=8)
+    assert _rows(r_short) == _rows(r_short_wq)
+    with pytest.raises(ValueError):
+        search_queries(dev, short, k=2, edit=True, engine="sv", chunk=8)

@@ -11,7 +11,8 @@ engine step, before trusting a bench number:
     python tpu_check.py
 
 Covers the shapes the bench does NOT: Hamming tapes (e_used=4), small
-caps (512), several generators, dedup on/off, edit + Hamming.
+caps (512), several generators, dedup on/off, edit + Hamming, plus the
+seed-and-verify engine (seed scan, window unpack, banded DP, compaction).
 """
 
 from __future__ import annotations
@@ -66,6 +67,27 @@ def run_cases() -> list:
         h = run_workq_search(dev, qarr, tape, edit=edit, dedup=dedup)
         rows = sorted(zip(h.lane.tolist(), h.lb.tolist(), h.sz.tolist(), h.err.tolist()))
         out.append({"case": [gen, k, edit, dedup], "n": h.n_hits, "rows": rows})
+
+    # seed-and-verify engine (longer queries so k=2 parts stay seedable)
+    from sahara_tpu.engine.seedverify import run_sv_search
+
+    m2 = 36
+    rng = np.random.default_rng(123)
+    q2 = []
+    for _ in range(8):
+        s = seqs[rng.integers(0, len(seqs))]
+        if len(s) < m2:
+            continue
+        p = rng.integers(0, len(s) - m2 + 1)
+        q = s[p : p + m2].copy()
+        j = rng.integers(0, m2)
+        q[j] = 1 + (q[j] - 1 + rng.integers(1, 4)) % 4
+        q2.append(q)
+    q2arr = np.stack(q2).astype(np.int32)
+    for k, edit in ((1, True), (2, True), (2, False)):
+        h = run_sv_search(dev, q2arr, k, edit=edit)
+        rows = sorted(zip(h.q_idx.tolist(), h.abs_pos.tolist(), h.err.tolist()))
+        out.append({"case": ["sv", k, edit, True], "n": len(rows), "rows": rows})
     return out
 
 
