@@ -289,12 +289,18 @@ def _run_sv_grouped(
     active: np.ndarray | None,
     max_hits: int,
     chunk: int,
-) -> SearchResult:
+    part_cap: int | None = None,
+) -> tuple[SearchResult, np.ndarray]:
     """Seed-and-verify engine driver: chunk queries, pipeline the two device
-    calls (chunk i's host expansion overlaps chunk i+1's seed search)."""
+    calls (chunk i's host expansion overlaps chunk i+1's seed search).
+
+    Returns (hits, fallback bool[nq]): queries excluded by the per-part
+    occurrence budget (seedverify.PART_CAP) produce NO hits here and are
+    flagged for an exact re-search through the scheme engine."""
     starts_host = np.asarray(index.seq_starts).astype(np.int64)
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+    fallback_all = np.zeros(nq, dtype=bool)
 
     sts: list[dict] = []
     prev: dict | None = None
@@ -307,8 +313,12 @@ def _run_sv_grouped(
             q = np.concatenate([q, np.zeros((pad_n, q.shape[1]), dtype=q.dtype)])
             a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
             ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
-        st = dispatch_sv(index, q, k, edit=edit, active=a)
+        st = dispatch_sv(
+            index, q, k, edit=edit, active=a,
+            **({} if part_cap is None else {"part_cap": part_cap}),
+        )
         st["ids"] = ids
+        st["start"] = start
         sts.append(st)
         if prev is not None:
             collect_sv_expand(prev)  # blocks on the PREVIOUS chunk's seed
@@ -321,6 +331,10 @@ def _run_sv_grouped(
     results: list[SearchResult] = []
     for st in sts:
         hits = collect_sv(st)
+        if hits.fallback is not None and hits.fallback.any():
+            start = st["start"]
+            n_real = min(chunk, nq - start)
+            fallback_all[start : start + n_real] = hits.fallback[:n_real]
         if len(hits.q_idx) == 0:
             continue
         seq = np.searchsorted(starts_host, hits.abs_pos, side="right") - 1
@@ -334,7 +348,7 @@ def _run_sv_grouped(
             )
         )
     merged = _merge_results(results)
-    return _cap_hits_per_query(merged, max_hits)
+    return _cap_hits_per_query(merged, max_hits), fallback_all
 
 
 def _besthits_filter(result: SearchResult) -> SearchResult:
@@ -436,6 +450,7 @@ def search_queries(
     chunk: int = 1024,
     engine: str = "auto",
     query_ids: np.ndarray | None = None,
+    sv_part_cap: int | None = None,
     verbose_cb=None,
 ) -> SearchResult:
     """Approximate search of rank-array queries against a bidirectional
@@ -474,10 +489,29 @@ def search_queries(
                 f"or parts too short for m={length}, k={k})"
             )
         if use_sv:
-            res = _run_sv_grouped(
+            res, fallback = _run_sv_grouped(
                 index, qarr, qids, k=k, edit=edit, active=None,
-                max_hits=0, chunk=chunk,
+                max_hits=0, chunk=chunk, part_cap=sv_part_cap,
             )
+            if fallback.any():
+                # repeat-saturated queries (any part over the occurrence
+                # budget): exact automatic re-search via the workq engine
+                if verbose_cb:
+                    verbose_cb(
+                        f"seed-verify: {int(fallback.sum())} repeat-saturated "
+                        "queries re-searched via the scheme engine"
+                    )
+                ess = load_scheme(
+                    generator_name, 0, k, length, edit=edit, sigma=sigma,
+                    n_text=index.n, dynamic=dynamic, verbose_cb=None,
+                )
+                if not edit:
+                    ess = limit_to_hamming(ess)
+                res_fb = _run_workq_grouped(
+                    index, qarr, compile_tape(ess), qids, edit=edit,
+                    active=fallback, max_hits=0, chunk=chunk,
+                )
+                res = _merge_results([res, res_fb])
             if mode == "besthits":
                 res = _besthits_filter(res)
             results.append(_cap_hits_per_query(res, max_hits))

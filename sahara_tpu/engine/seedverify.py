@@ -53,6 +53,17 @@ _INF = 1 << 20
 
 MIN_PART = 10  # shortest exact part worth seeding with (else candidate blowup)
 
+# Per-part occurrence budget: a part whose SA interval exceeds this many rows
+# (low-complexity or repeat-saturated seeds — e.g. poly-A reads against a
+# tandem-repeat reference) is NOT host-expanded; its query is flagged for
+# fallback to the scheme engine instead.  Pigeonhole exactness needs all
+# k+1 parts as potential witnesses, so dropping ANY part drops the whole
+# query from this engine — the driver re-runs flagged queries through the
+# workq engine (which has real capacity planning, workq.py), keeping the
+# combined hit set exact while bounding host candidate memory to
+# nq * (k+1) * PART_CAP rows worst-case.
+PART_CAP = 1 << 16
+
 
 def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int], ...] | None:
     """Balanced split of an m-char query into k+1 parts: ((off, len), ...).
@@ -126,18 +137,28 @@ def seed_parts(
 
 
 def expand_seeds(
-    packed: np.ndarray, nq: int, parts: tuple[tuple[int, int], ...], active: np.ndarray | None
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    packed: np.ndarray,
+    nq: int,
+    parts: tuple[tuple[int, int], ...],
+    active: np.ndarray | None,
+    part_cap: int = PART_CAP,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Host ragged expansion of part intervals into candidate rows.
 
     Returns (rows int32[R] — SA rows, q_of int32[R], off_of int32[R] — the
-    part's query offset).  Exact (host-side), so candidates can never
-    overflow a device buffer."""
+    part's query offset, fallback bool[nq]).  Exact (host-side), so
+    candidates can never overflow a device buffer.  Queries with any part
+    interval larger than ``part_cap`` are excluded entirely and flagged in
+    ``fallback`` — the caller must search them with a scheme engine (see
+    PART_CAP above for why partial expansion would lose hits)."""
     p_cnt = len(parts)
     lo = packed[: nq * p_cnt].astype(np.int64)
     sz = packed[nq * p_cnt :].astype(np.int64)
     if active is not None:
         sz = np.where(np.repeat(np.asarray(active, dtype=bool), p_cnt), sz, 0)
+    fallback = (sz.reshape(nq, p_cnt) > part_cap).any(axis=1)
+    if fallback.any():
+        sz = np.where(np.repeat(fallback, p_cnt), 0, sz)
     total = int(sz.sum())
     lane = np.repeat(np.arange(nq * p_cnt, dtype=np.int64), sz)
     excl = np.concatenate([[0], np.cumsum(sz)[:-1]])
@@ -145,7 +166,7 @@ def expand_seeds(
     offs = np.asarray([off for off, _ in parts], dtype=np.int32)
     q_of = (lane // p_cnt).astype(np.int32)
     off_of = offs[(lane % p_cnt).astype(np.int32)]
-    return rows, q_of, off_of
+    return rows, q_of, off_of, fallback
 
 
 # --------------------------------------------------------------------------
@@ -335,6 +356,9 @@ class SvHits:
     q_idx: np.ndarray  # int32[H] — local query index
     abs_pos: np.ndarray  # int64[H] — position in the padded text layout
     err: np.ndarray  # int32[H]
+    # queries excluded by the per-part occurrence budget (PART_CAP); the
+    # caller must re-search these with a scheme engine for an exact hit set
+    fallback: np.ndarray | None = None  # bool[nq] or None
 
 
 def _quant(x: int) -> int:
@@ -352,6 +376,7 @@ def dispatch_sv(
     edit: bool,
     active: np.ndarray | None = None,
     queries_dev: jax.Array | None = None,
+    part_cap: int = PART_CAP,
 ) -> dict:
     """Launch the seed phase asynchronously; collect with collect_sv."""
     nq, m = queries.shape
@@ -362,7 +387,7 @@ def dispatch_sv(
     fut = seed_parts(index, qdev, parts)
     return {
         "fut": fut, "qdev": qdev, "nq": nq, "m": m, "k": k, "edit": edit,
-        "parts": parts, "active": active, "index": index,
+        "parts": parts, "active": active, "index": index, "part_cap": part_cap,
     }
 
 
@@ -373,8 +398,11 @@ def collect_sv_expand(st: dict) -> None:
     """Block on the seed result and host-expand candidates (phase between
     the two device calls — split out so drivers can pipeline)."""
     packed = np.asarray(st["fut"])
-    rows, q_of, off_of = expand_seeds(packed, st["nq"], st["parts"], st["active"])
+    rows, q_of, off_of, fallback = expand_seeds(
+        packed, st["nq"], st["parts"], st["active"], st.get("part_cap", PART_CAP)
+    )
     st["cands"] = (rows, q_of, off_of)
+    st["fallback"] = fallback
 
 
 def dispatch_sv_verify(st: dict, hit_mult: int = 8) -> None:
@@ -434,13 +462,15 @@ def collect_sv(st: dict) -> SvHits:
         out_q.append(qq[cand])
         out_p.append(pos.astype(np.int64))
         out_e.append(err)
+    fb = st.get("fallback")
     if not out_q:
         z = np.zeros(0, dtype=np.int64)
-        return SvHits(z.astype(np.int32), z, z.astype(np.int32))
+        return SvHits(z.astype(np.int32), z, z.astype(np.int32), fallback=fb)
     return SvHits(
         q_idx=np.concatenate(out_q).astype(np.int32),
         abs_pos=np.concatenate(out_p),
         err=np.concatenate(out_e).astype(np.int32),
+        fallback=fb,
     )
 
 
@@ -451,9 +481,10 @@ def run_sv_search(
     *,
     edit: bool,
     active: np.ndarray | None = None,
+    part_cap: int = PART_CAP,
 ) -> SvHits:
     """Synchronous seed -> expand -> verify for one query chunk."""
-    st = dispatch_sv(index, queries, k, edit=edit, active=active)
+    st = dispatch_sv(index, queries, k, edit=edit, active=active, part_cap=part_cap)
     collect_sv_expand(st)
     dispatch_sv_verify(st)
     return collect_sv(st)

@@ -115,6 +115,71 @@ def test_sv_err_values_minimal(edit):
         assert found0, f"query {qi} lost its exact hit"
 
 
+def test_sv_part_cap_fallback():
+    """Repeat-saturated queries are excluded from SV and flagged for
+    fallback; candidate expansion stays bounded (no multi-GB host arrays)."""
+    rng = np.random.default_rng(11)
+    unit = rng.integers(1, 5, 40).astype(np.uint8)
+    flank = rng.integers(1, 5, 500).astype(np.uint8)
+    seqs = [np.concatenate([flank, np.tile(unit, 100), flank])]
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 2
+    q_repeat = np.tile(unit, 2)[3 : 3 + m].copy()  # every part occurs ~100x
+    q_unique = flank[10 : 10 + m].copy()
+    qarr = np.stack([q_repeat, q_unique]).astype(np.int32)
+    sv = run_sv_search(dev, qarr, k, edit=True, part_cap=8)
+    assert sv.fallback is not None
+    assert bool(sv.fallback[0]) and not bool(sv.fallback[1])
+    # the saturated query contributed no SV hits (exactness is the driver's
+    # job via workq fallback); the unique query is still exact
+    assert not np.any(sv.q_idx == 0)
+    got = {(s, p) for (s, p, qi) in _hits_as_set(host, sv) if qi == 1}
+    want = set(brute_edit_hits_minimal(seqs, q_unique, k))
+    assert got == want
+
+
+@pytest.mark.parametrize("edit", [True, False])
+def test_search_queries_repeat_fallback_exact(edit):
+    """Adversarial poly-A / tandem-repeat corpus through the full driver:
+    the per-part occurrence budget routes saturated queries through the
+    workq engine automatically; the combined hit set stays exact."""
+    from sahara_tpu.engine.driver import search_queries
+
+    rng = np.random.default_rng(5)
+    unit = rng.integers(1, 5, 12).astype(np.uint8)
+    seqs = [
+        np.concatenate(
+            [
+                rng.integers(1, 5, 300).astype(np.uint8),
+                np.tile(unit, 60),
+                np.ones(200, dtype=np.uint8),  # poly-A run
+            ]
+        ),
+        rng.integers(1, 5, 400).astype(np.uint8),
+    ]
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 2
+    queries = [
+        np.ones(m, dtype=np.uint8),  # poly-A read
+        np.tile(unit, 5)[:m].copy(),  # tandem-repeat read
+        np.asarray(seqs[1][100 : 100 + m]),  # unique read
+    ]
+    res = search_queries(dev, queries, k=k, edit=edit, sv_part_cap=8, chunk=8)
+    got = set(zip(res.query_id.tolist(), res.seq_id.tolist(), res.pos.tolist()))
+    want = set()
+    for qi, q in enumerate(queries):
+        oracle = (
+            brute_edit_hits_minimal(seqs, q, k)
+            if edit
+            else brute_approx_hits(seqs, q, k, hamming=True)
+        )
+        for sid, pos in oracle:
+            want.add((qi, sid, pos))
+    assert got == want
+
+
 def test_sv_boundary_and_sentinel():
     """Hits at sequence edges; alignments must not cross sentinels."""
     # two sequences where q matches the END of seq0 and the START of seq1
