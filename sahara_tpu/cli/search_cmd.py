@@ -19,6 +19,27 @@ from sahara_tpu.index.fmindex import load_index, peek_sigma
 from sahara_tpu.utils.errors import SaharaError
 
 
+def _local_mesh(n_req: int):
+    """A data mesh over the local devices, or None for single-device runs.
+
+    ``n_req`` = 0 auto-selects: all local chips when the default platform
+    is an accelerator (so a plain `sahara search` on a v5e-8 host uses all
+    8 chips), 1 on CPU (virtual host devices give no speedup — pass
+    --devices N explicitly to exercise the mesh path on CPU)."""
+    import jax
+
+    devs = jax.local_devices()
+    if n_req == 0:
+        n_use = len(devs) if devs and devs[0].platform != "cpu" else 1
+    else:
+        n_use = n_req
+    if n_use <= 1:
+        return None
+    from sahara_tpu.parallel.mesh import data_mesh
+
+    return data_mesh(n_use)
+
+
 def cmd_search(args):
     sigma = peek_sigma(args.index)
     alphabet = by_sigma(sigma)  # search.cpp:284-287 dispatch
@@ -78,6 +99,7 @@ def cmd_search(args):
         mode=args.search_mode,
         max_hits=args.max_hits,
         dynamic=args.dynamic_generator,
+        engine=getattr(args, "engine", "auto"),
         query_ids=query_ids,
         verbose_cb=print,
     )
@@ -86,7 +108,15 @@ def cmd_search(args):
 
         result = search_queries_sharded(host, queries, **kw)
     else:
-        index = DeviceIndex.from_host(host)
+        mesh = _local_mesh(getattr(args, "devices", 0))
+        if mesh is not None:
+            from sahara_tpu.parallel.mesh import replicate_index
+
+            print(f"devices:             {mesh.devices.size}")
+            index = replicate_index(host, mesh)
+            kw["mesh"] = mesh
+        else:
+            index = DeviceIndex.from_host(host)
         result = search_queries(index, queries, **kw)
     timing.mark("search")
     timing.mark("locate")
@@ -187,7 +217,14 @@ def _rbi_search(args, alphabet, unknown_random_ranks: bool):
     if not os.path.exists(args.index):
         raise SaharaError(f"no valid index path at {args.index}")
     host = load_index(args.index)
-    index = DeviceIndex.from_host(host)
+    mesh = _local_mesh(getattr(args, "devices", 0))
+    if mesh is not None:
+        from sahara_tpu.parallel.mesh import replicate_index
+
+        print(f"devices:             {mesh.devices.size}")
+        index = replicate_index(host, mesh)
+    else:
+        index = DeviceIndex.from_host(host)
     timing.mark("ld index")
 
     # rbi search is always edit distance (search_ng21, rbi-search.cpp:177-187)
@@ -200,6 +237,8 @@ def _rbi_search(args, alphabet, unknown_random_ranks: bool):
         mode=args.search_mode,
         max_hits=args.max_hits,
         dynamic=args.dynamic_generator,
+        engine=getattr(args, "engine", "auto"),
+        mesh=mesh,
         verbose_cb=print,
     )
     timing.mark("search")
@@ -237,6 +276,14 @@ def _add_search_flags(p, *, metric: bool, reverse: bool, limit: bool):
     p.add_argument("--max_hits", type=int, default=0, help="maximum number of hits per query")
     if limit:
         p.add_argument("--limit_queries", type=int, default=0, help="only run the given number of queries")
+    # TPU-native extensions (no reference counterpart)
+    p.add_argument("--engine", choices=["auto", "sv", "workq", "approx"], default="auto",
+                   help="search engine: auto (seed-verify when eligible, else workq), "
+                        "sv (seed-and-verify), workq (work-queue scheme engine), "
+                        "approx (per-lane frontier scheme engine)")
+    p.add_argument("--devices", type=int, default=0,
+                   help="local devices for data-parallel search: 0 = all local "
+                        "accelerator chips (1 on CPU), N = first N devices")
     # multi-host extension flags (no reference counterpart): bring up
     # jax.distributed and shard the query list by process rank
     p.add_argument("--mh_coordinator", default=None, help="jax.distributed coordinator address (host:port)")

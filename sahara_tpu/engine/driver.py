@@ -279,6 +279,81 @@ def _run_workq_grouped(
     return _cap_hits_per_query(merged, max_hits)
 
 
+def _sv_hits_to_result(index: DeviceIndex, hits, qids: np.ndarray) -> SearchResult:
+    """Map SV hits (absolute padded-text positions) to (seqId, pos) rows."""
+    if len(hits.q_idx) == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return SearchResult(z, z, z, z)
+    starts_host = np.asarray(index.seq_starts).astype(np.int64)
+    seq = np.searchsorted(starts_host, hits.abs_pos, side="right") - 1
+    pos = hits.abs_pos - starts_host[seq]
+    return SearchResult(
+        query_id=qids[hits.q_idx].astype(np.int64),
+        seq_id=seq.astype(np.int64),
+        pos=pos.astype(np.int64),
+        errors=hits.err.astype(np.int64),
+    )
+
+
+def _run_workq_mesh(
+    index: DeviceIndex,
+    qarr: np.ndarray,
+    tape: SchemeTape,
+    qids: np.ndarray,
+    *,
+    mesh,
+    edit: bool,
+    active: np.ndarray | None,
+    max_hits: int,
+) -> SearchResult:
+    """Data-parallel workq driver: split oversized schemes into tape groups
+    (like _run_workq_grouped) and run each group SPMD over the mesh."""
+    from sahara_tpu.parallel.search import distributed_workq_search
+
+    ns_total = tape.num_searches
+    groups = [
+        SchemeTape(
+            side=tape.side[g : g + MAX_NS],
+            qpos=tape.qpos[g : g + MAX_NS],
+            lo=tape.lo[g : g + MAX_NS],
+            hi=tape.hi[g : g + MAX_NS],
+        )
+        for g in range(0, ns_total, MAX_NS)
+    ]
+    results = []
+    for gt in groups:
+        hits, _ = distributed_workq_search(mesh, index, qarr, gt, edit=edit, active=active)
+        results.append(_locate_flat_hits(index, hits, gt.num_searches, qids))
+    merged = _merge_results(results)
+    return _cap_hits_per_query(merged, max_hits)
+
+
+def _run_sv_mesh(
+    index: DeviceIndex,
+    qarr: np.ndarray,
+    qids: np.ndarray,
+    *,
+    mesh,
+    k: int,
+    edit: bool,
+    max_hits: int,
+    chunk: int,
+    part_cap: int | None,
+) -> tuple[SearchResult, np.ndarray]:
+    """Data-parallel seed-and-verify driver (parallel/sv.py)."""
+    from sahara_tpu.engine.seedverify import PART_CAP
+    from sahara_tpu.parallel.sv import distributed_sv_search
+
+    hits, _ = distributed_sv_search(
+        mesh, index, qarr, k, edit=edit, chunk=chunk,
+        part_cap=PART_CAP if part_cap is None else part_cap,
+    )
+    res = _sv_hits_to_result(index, hits, qids)
+    res = _merge_results([res])  # canonical order + dedup
+    fb = hits.fallback if hits.fallback is not None else np.zeros(qarr.shape[0], dtype=bool)
+    return _cap_hits_per_query(res, max_hits), fb
+
+
 def _run_sv_grouped(
     index: DeviceIndex,
     qarr: np.ndarray,
@@ -451,6 +526,7 @@ def search_queries(
     engine: str = "auto",
     query_ids: np.ndarray | None = None,
     sv_part_cap: int | None = None,
+    mesh=None,
     verbose_cb=None,
 ) -> SearchResult:
     """Approximate search of rank-array queries against a bidirectional
@@ -458,7 +534,14 @@ def search_queries(
 
     ``query_ids`` optionally maps local query indices to global ids (used
     by the multi-host runner, where each host owns a contiguous slice of
-    the global query list and must emit global ids)."""
+    the global query list and must emit global ids).
+
+    ``mesh`` optionally distributes the search data-parallel over a
+    ``jax.sharding.Mesh`` (queries sharded, index replicated — the index
+    must have been uploaded with ``parallel.replicate_index``); both the
+    seed-and-verify and workq engines have SPMD drivers (parallel/sv.py,
+    parallel/search.py)."""
+    use_mesh = mesh is not None and mesh.devices.size > 1
     sigma = index.sigma
     results: list[SearchResult] = []
 
@@ -488,11 +571,21 @@ def search_queries(
                 "seed-verify engine not applicable (index lacks a text store, "
                 f"or parts too short for m={length}, k={k})"
             )
+        if verbose_cb:
+            eng_name = "seed-verify" if use_sv else ("workq" if engine == "auto" else engine)
+            where = f"mesh[{mesh.devices.size}]" if use_mesh else "single-device"
+            verbose_cb(f"engine: {eng_name} ({where}, m={length}, {len(idxs)} queries)")
         if use_sv:
-            res, fallback = _run_sv_grouped(
-                index, qarr, qids, k=k, edit=edit, active=None,
-                max_hits=0, chunk=chunk, part_cap=sv_part_cap,
-            )
+            if use_mesh:
+                res, fallback = _run_sv_mesh(
+                    index, qarr, qids, mesh=mesh, k=k, edit=edit,
+                    max_hits=0, chunk=chunk, part_cap=sv_part_cap,
+                )
+            else:
+                res, fallback = _run_sv_grouped(
+                    index, qarr, qids, k=k, edit=edit, active=None,
+                    max_hits=0, chunk=chunk, part_cap=sv_part_cap,
+                )
             if fallback.any():
                 # repeat-saturated queries (any part over the occurrence
                 # budget): exact automatic re-search via the workq engine
@@ -507,16 +600,27 @@ def search_queries(
                 )
                 if not edit:
                     ess = limit_to_hamming(ess)
-                res_fb = _run_workq_grouped(
-                    index, qarr, compile_tape(ess), qids, edit=edit,
-                    active=fallback, max_hits=0, chunk=chunk,
-                )
+                if use_mesh:
+                    res_fb = _run_workq_mesh(
+                        index, qarr, compile_tape(ess), qids, mesh=mesh,
+                        edit=edit, active=fallback, max_hits=0,
+                    )
+                else:
+                    res_fb = _run_workq_grouped(
+                        index, qarr, compile_tape(ess), qids, edit=edit,
+                        active=fallback, max_hits=0, chunk=chunk,
+                    )
                 res = _merge_results([res, res_fb])
             if mode == "besthits":
                 res = _besthits_filter(res)
             results.append(_cap_hits_per_query(res, max_hits))
             continue
         bucket_engine = "workq" if engine == "auto" else engine
+        if use_mesh and bucket_engine != "workq":
+            raise ValueError(
+                f"engine {bucket_engine!r} has no distributed driver; use "
+                "engine='auto' or 'workq' with a mesh"
+            )
 
         if mode == "all":
             ess = load_scheme(
@@ -527,12 +631,20 @@ def search_queries(
                 ess = limit_to_hamming(ess)
             tape = compile_tape(ess)
             if bucket_engine == "workq":
-                results.append(
-                    _run_workq_grouped(
-                        index, qarr, tape, qids, edit=edit, active=None,
-                        max_hits=max_hits, chunk=chunk,
+                if use_mesh:
+                    results.append(
+                        _run_workq_mesh(
+                            index, qarr, tape, qids, mesh=mesh, edit=edit,
+                            active=None, max_hits=max_hits,
+                        )
                     )
-                )
+                else:
+                    results.append(
+                        _run_workq_grouped(
+                            index, qarr, tape, qids, edit=edit, active=None,
+                            max_hits=max_hits, chunk=chunk,
+                        )
+                    )
             else:
                 hits = run_scheme_search_chunked(
                     index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
@@ -558,10 +670,16 @@ def search_queries(
                     ess = limit_to_hamming(ess)
                 tape = compile_tape(ess)
                 if bucket_engine == "workq":
-                    res = _run_workq_grouped(
-                        index, qarr, tape, qids, edit=edit, active=active,
-                        max_hits=max_hits, chunk=chunk,
-                    )
+                    if use_mesh:
+                        res = _run_workq_mesh(
+                            index, qarr, tape, qids, mesh=mesh, edit=edit,
+                            active=active, max_hits=max_hits,
+                        )
+                    else:
+                        res = _run_workq_grouped(
+                            index, qarr, tape, qids, edit=edit, active=active,
+                            max_hits=max_hits, chunk=chunk,
+                        )
                 else:
                     hits = run_scheme_search_chunked(
                         index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk

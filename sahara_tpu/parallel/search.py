@@ -97,6 +97,7 @@ def distributed_workq_search(
     hit_mult: int = 64,
     dedup: bool = True,
     max_retries: int = 4,
+    active: np.ndarray | None = None,
 ) -> tuple[FlatHits, int]:
     """Data-parallel work-queue search: each device runs the v2 engine on
     its query shard against the replicated index; per-shard packed hit
@@ -104,6 +105,9 @@ def distributed_workq_search(
     reduced with psum.  Shard overflows retry with doubled capacities
     (mirroring the single-chip ``run_workq_search``); a persistent overflow
     raises instead of silently dropping hits.
+
+    ``active`` optionally masks queries off (besthits strata / fallback
+    subsets); inactive lanes produce no hits.
 
     Returns (FlatHits with lanes over the ORIGINAL query ids, total)."""
     nq, m = queries.shape
@@ -128,7 +132,10 @@ def distributed_workq_search(
     t_qpos = jnp.asarray(tape.qpos)
     t_lo = jnp.asarray(tape.lo)
     t_hi = jnp.asarray(tape.hi)
-    active = np.arange(nq_pad) < nq_orig
+    act = np.arange(nq_pad) < nq_orig
+    if active is not None:
+        act[:nq_orig] &= np.asarray(active, dtype=bool)
+    active = act
 
     main_steps, _ = main_tail_steps(m, ph0, k, edit)
 

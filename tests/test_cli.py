@@ -51,6 +51,33 @@ def test_index_and_search_recovers_planted_reads(ref_fasta, tmp_path):
         assert (qid, sid, pos) in hits, f"read {i} not recovered at ({sid},{pos})"
 
 
+def test_search_cli_mesh_and_engine_parity(ref_fasta, tmp_path):
+    """`--devices 8` (local data mesh over the 8 virtual CPU devices) and
+    `--engine workq` both produce byte-identical output to the default
+    single-device auto-engine run."""
+    ref_path, _ = ref_fasta
+    reads = tmp_path / "reads.fasta"
+    assert main(["read_simulator", "-i", ref_path, "-o", str(reads),
+                 "-n", "10", "-l", "40", "-e", "1", "--seed", "4"]) == 0
+    assert main(["index", ref_path]) == 0
+
+    outs = {}
+    for name, extra in {
+        "seq": [],
+        "mesh": ["--devices", "8"],
+        "workq": ["--engine", "workq"],
+        "mesh_workq": ["--devices", "8", "--engine", "workq"],
+    }.items():
+        out = tmp_path / f"out_{name}.txt"
+        assert main(["search", "-q", str(reads), "-i", ref_path + ".idx",
+                     "-o", str(out), "-e", "2", "-g", "optimum"] + extra) == 0
+        outs[name] = out.read_text()
+    assert outs["seq"] == outs["mesh"]
+    assert outs["seq"] == outs["workq"]
+    assert outs["seq"] == outs["mesh_workq"]
+    assert outs["seq"].strip()  # non-empty
+
+
 def test_search_hamming_exact_only(ref_fasta, tmp_path):
     ref_path, _ = ref_fasta
     reads = tmp_path / "reads0.fasta"

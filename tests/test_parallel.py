@@ -52,6 +52,91 @@ def test_distributed_pads_non_divisible_batches(setup):
     assert set((hits.lane).tolist()) == set(range(13))
 
 
+@pytest.fixture(scope="module")
+def sv_setup():
+    """Corpus long enough for the SV engine at m=36 (parts >= MIN_PART),
+    plus a tandem repeat so the fallback path gets exercised on-mesh."""
+    rng = np.random.default_rng(9)
+    unit = rng.integers(1, 5, 12).astype(np.uint8)
+    seqs = [
+        rng.integers(1, 5, size=700).astype(np.uint8),
+        np.concatenate([rng.integers(1, 5, 200).astype(np.uint8), np.tile(unit, 50)]),
+    ]
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    mesh = data_mesh(8)
+    return host, mesh, seqs, unit
+
+
+@pytest.mark.parametrize("edit", [True, False])
+def test_distributed_sv_matches_single_device(sv_setup, edit):
+    """The flagship seed-and-verify engine over the mesh: hit set equals
+    the single-device engine (which is oracle-tested in test_seedverify)."""
+    from sahara_tpu.engine.seedverify import run_sv_search
+    from sahara_tpu.parallel.sv import distributed_sv_search
+
+    host, mesh, seqs, _ = sv_setup
+    dev = replicate_index(host, mesh)
+    m, k = 36, 2
+    rng = np.random.default_rng(21)
+    qs = []
+    for i in range(19):  # 19 % 8 != 0: exercises padding
+        sid = i % 2
+        p = int(rng.integers(0, len(seqs[sid]) - m))
+        q = np.array(seqs[sid][p : p + m], dtype=np.int32)
+        if i % 3 == 1:  # plant a substitution
+            q[5] = 1 + (q[5] - 1 + 1) % 4
+        qs.append(q)
+    qs = np.stack(qs)
+
+    hits, total = distributed_sv_search(mesh, dev, qs, k, edit=edit, chunk=2)
+    dev1 = DeviceIndex.from_host(host)
+    ref = run_sv_search(dev1, qs, k, edit=edit)
+    got = set(zip(hits.q_idx.tolist(), hits.abs_pos.tolist(), hits.err.tolist()))
+    want = set(zip(ref.q_idx.tolist(), ref.abs_pos.tolist(), ref.err.tolist()))
+    assert got == want
+    assert total == len(hits.q_idx)
+    assert not hits.fallback.any()
+
+
+@pytest.mark.parametrize("mode", ["all", "besthits"])
+def test_search_queries_mesh_parity(sv_setup, mode):
+    """Full driver with mesh= (SV engine + workq fallback for the
+    repeat-saturated query) vs the sequential driver: identical rows."""
+    from sahara_tpu.engine.driver import search_queries
+
+    host, mesh, seqs, unit = sv_setup
+    m, k = 36, 2
+    rng = np.random.default_rng(33)
+    queries = [np.asarray(seqs[i % 2][7 * i : 7 * i + m], dtype=np.uint8) for i in range(10)]
+    queries.append(np.tile(unit, 3).astype(np.uint8))  # repeat-saturated
+    kw = dict(k=k, edit=True, mode=mode, sv_part_cap=8, chunk=4)
+
+    dev_m = replicate_index(host, mesh)
+    res_mesh = search_queries(dev_m, queries, mesh=mesh, **kw)
+    dev1 = DeviceIndex.from_host(host)
+    res_seq = search_queries(dev1, queries, **kw)
+    assert res_mesh.rows() == res_seq.rows()
+    assert len(res_seq.query_id) > 0
+
+
+def test_search_queries_mesh_workq_parity(sv_setup):
+    """Driver mesh path for a scheme-engine bucket (SV ineligible: short
+    reads) vs sequential: identical rows."""
+    from sahara_tpu.engine.driver import search_queries
+
+    host, mesh, seqs, _ = sv_setup
+    m, k = 20, 2  # 20 // 3 = 6 < MIN_PART -> SV ineligible, workq bucket
+    queries = [np.asarray(seqs[0][5 * i : 5 * i + m], dtype=np.uint8) for i in range(9)]
+    kw = dict(k=k, edit=True)
+
+    dev_m = replicate_index(host, mesh)
+    res_mesh = search_queries(dev_m, queries, mesh=mesh, **kw)
+    dev1 = DeviceIndex.from_host(host)
+    res_seq = search_queries(dev1, queries, **kw)
+    assert res_mesh.rows() == res_seq.rows()
+    assert len(res_seq.query_id) > 0
+
+
 def test_host_query_slice_partitions():
     # single-process: whole range
     start, end = host_query_slice(100)
