@@ -31,35 +31,58 @@ def timeit(fn, *args, rounds=3):
     return best
 
 
-def main():
-    from sahara_tpu.engine.rank import rank_all
+def run_size(ref_mb: float, n: int, results: list) -> None:
+    from sahara_tpu.engine.rank import fold_occ_rows, pick_fold, rank_all
     from sahara_tpu.index.build import build_fmindex
     from sahara_tpu.kernels.rank import occ16_vmem_bytes, pack_occ16, rank_all_vmem
 
     rng = np.random.default_rng(0)
-    n_ref = int(REF_MB * 1_000_000)
+    n_ref = int(ref_mb * 1_000_000)
     text = rng.integers(1, 5, size=n_ref).astype(np.uint8)
     host = build_fmindex([text], 6, "d_dna5")
     occ = jnp.asarray(np.asarray(host.occ))
-    occ16 = pack_occ16(occ)
     sigma = host.sigma
-    idx = jnp.asarray(rng.integers(0, host.n, size=N).astype(np.int32))
-    print(f"# occ rows={occ.shape[0]} hbm={occ.nbytes/1e6:.1f}MB "
-          f"vmem16={occ16_vmem_bytes(occ.shape[0])/1e6:.1f}MB n={N}")
+    fold = pick_fold(sigma)
+    occ_f = jnp.asarray(fold_occ_rows(np.asarray(host.occ), fold))
+    idx = jnp.asarray(rng.integers(0, host.n, size=n).astype(np.int32))
+    vmem_mb = occ16_vmem_bytes(occ.shape[0]) / 1e6
+    print(f"# ref={ref_mb}MB occ rows={occ.shape[0]} hbm={occ.nbytes / 1e6:.1f}MB "
+          f"vmem16={vmem_mb:.1f}MB n={n} fold={fold}")
+
+    def row(name, t):
+        print(f"{name:14s}: {n / t / 1e6:.1f}M ranks/s  ({t * 1e3:.2f} ms)")
+        results.append({"variant": name, "ref_mb": ref_mb, "ranks_per_sec": round(n / t),
+                        "ms": round(t * 1e3, 3)})
 
     xla = jax.jit(lambda i: rank_all(occ, sigma, i))
-    t = timeit(xla, idx)
-    print(f"xla_take      : {N/t/1e6:.1f}M ranks/s  ({t*1e3:.2f} ms)")
+    row("xla_planar", timeit(xla, idx))
 
-    pallas = jax.jit(lambda i: rank_all_vmem(occ16, sigma, i))
-    t = timeit(pallas, idx)
-    print(f"pallas_vmem   : {N/t/1e6:.1f}M ranks/s  ({t*1e3:.2f} ms)")
+    folded = jax.jit(lambda i: rank_all(occ_f, sigma, i, fold))
+    row("xla_folded", timeit(folded, idx))
 
-    # sanity: bit-identical
     a = np.asarray(xla(idx))
-    b = np.asarray(pallas(idx))
-    assert (a == b).all(), "pallas kernel deviates from XLA rank"
-    print("# bit-identical: True")
+    assert (a == np.asarray(folded(idx))).all(), "folded deviates from planar"
+
+    # the Pallas VMEM kernel needs the whole folded table on-chip
+    # (~16MB VMEM/core on v5e; leave room for idx/out/scratch blocks)
+    if vmem_mb <= float(os.environ.get("SAHARA_RANK_VMEM_MB", 12)):
+        occ16 = pack_occ16(occ)
+        pallas = jax.jit(lambda i: rank_all_vmem(occ16, sigma, i))
+        row("pallas_vmem", timeit(pallas, idx))
+        assert (a == np.asarray(pallas(idx))).all(), "pallas deviates from XLA rank"
+        print("# bit-identical: True")
+    else:
+        print("# pallas_vmem skipped: occ table exceeds VMEM")
+
+
+def main():
+    import json
+
+    results: list = []
+    sizes = os.environ.get("SAHARA_RANK_SIZES", f"{REF_MB}")
+    for mb in [float(x) for x in sizes.split(",")]:
+        run_size(mb, N, results)
+    print(json.dumps({"metric": "rank_queries_per_sec", "rows": results}))
 
 
 if __name__ == "__main__":
