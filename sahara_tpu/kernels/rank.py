@@ -22,9 +22,16 @@ loop" named in BASELINE.json) for the TPU memory system:
 - index blocks are scalar-prefetched to SMEM so the loads can issue
   immediately.
 
-``jnp.take`` remains the implementation for HBM-resident (large) indexes;
-``rank_all_vmem`` is wired behind ``DeviceIndex`` capability checks.  Both
-paths are bit-identical (tests/test_kernels.py).
+Both paths are bit-identical (tests/test_kernels.py).
+
+Round-3 measurement (RANK_r03.json, real v5e, 262k-rank batches): this
+kernel reaches 116M ranks/s at E. coli scale — 1.8x the planar XLA gather
+— but the *folded* wide-row XLA layout (engine/rank.py, the production
+path since round 2) reaches 118M ranks/s on the same workload and 50M at
+chr21 scale where the VMEM kernel is ineligible (80MB folded table vs
+~16MB VMEM).  The engines therefore keep the folded XLA gather at every
+scale; this kernel is retained as the Pallas reference implementation and
+the starting point for a future fused seed-scan kernel.
 """
 
 from __future__ import annotations
