@@ -38,13 +38,18 @@ def _build_and_save(args, alphabet, *, suffix: str, bidirectional: bool, unknown
         # reverse lets a single forward search find both strands; mirror
         # copies get seqIds [m, 2m).
         seqs = seqs + [s[::-1].copy() for s in seqs]
+    import os as _os
+
+    threads = getattr(args, "threads", 0) or (_os.cpu_count() or 1)
     max_shard_mb = getattr(args, "max_shard_mb", 0)
     if bidirectional and (max_shard_mb or total >= 2**31 - 2**27):
         # beyond-int32 references: interval-sharded container (configs[3])
         from sahara_tpu.index.shard import DEFAULT_MAX_CHARS, ShardedIndex, build_sharded_bifmindex, save_sharded
 
         max_chars = int(max_shard_mb * 1_000_000) if max_shard_mb else DEFAULT_MAX_CHARS
-        index = build_sharded_bifmindex(seqs, alphabet.sigma, alphabet.name, rate=16, max_chars=max_chars)
+        index = build_sharded_bifmindex(
+            seqs, alphabet.sigma, alphabet.name, rate=16, max_chars=max_chars, threads=threads
+        )
         timing.mark("index creation")
         out_path = str(args.input) + suffix
         if isinstance(index, ShardedIndex):
@@ -56,7 +61,7 @@ def _build_and_save(args, alphabet, *, suffix: str, bidirectional: bool, unknown
         timing.print_stats()
         return out_path
     if bidirectional:
-        index = build_bifmindex(seqs, alphabet.sigma, alphabet.name, rate=16)
+        index = build_bifmindex(seqs, alphabet.sigma, alphabet.name, rate=16, threads=threads)
     else:
         index = build_fmindex(seqs, alphabet.sigma, alphabet.name, rate=16)
     timing.mark("index creation")
@@ -97,6 +102,9 @@ def register(subparsers):
     p.add_argument("--max_shard_mb", type=float, default=0,
                    help="split the index into text-interval shards of at most this many MB "
                         "(0 = automatic: shard only when the text exceeds the int32 device limit)")
+    p.add_argument("--threads", type=int, default=0,
+                   help="build threads (0 = all cores): shards build concurrently; "
+                        "fwd/rev suffix sorts overlap within a shard")
     p.set_defaults(func=cmd_index)
 
     p = subparsers.add_parser("uni-index", help="construct an unidirectional index over a given input file")

@@ -214,13 +214,20 @@ def _run_workq_grouped(
     active: np.ndarray | None,
     max_hits: int,
     chunk: int,
+    mesh=None,
 ) -> SearchResult:
     """Work-queue engine driver: chunk queries to the meta-packing limit,
     split schemes with more than MAX_NS searches into tape groups, and
     PIPELINE the chunks — up to ``_INFLIGHT`` device searches are queued
     ahead so host-side parsing/locate-prep of chunk i overlaps the device
     executing chunks i+1.. (the device runs one stream FIFO; jax dispatch
-    is async).  LF-walk collections all happen at the end."""
+    is async).  LF-walk collections all happen at the end.
+
+    With ``mesh`` each dispatched chunk runs SPMD over the data axis
+    (``chunk`` counts queries PER DEVICE, so a global chunk holds
+    chunk * n_dev queries); the capmem plans, pre-uploaded tapes, and the
+    pipeline apply identically — per-chip step cost matches the
+    single-chip engine at equal per-device chunk size."""
     ns_total = tape.num_searches
     groups = [
         SchemeTape(
@@ -231,8 +238,10 @@ def _run_workq_grouped(
         )
         for g in range(0, ns_total, MAX_NS)
     ]
-    group_tapes = [upload_tape(g) for g in groups]
+    group_tapes = [upload_tape(g, mesh=mesh) for g in groups]
+    n_dev = mesh.devices.size if mesh is not None else 1
     chunk = min(chunk, *(max_chunk_queries(g.length, g.num_searches, g.max_errors, edit) for g in groups))
+    chunk_g = chunk * n_dev
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
 
@@ -254,12 +263,15 @@ def _run_workq_grouped(
             )
         loc_pending.append(_locate_flat_hits_begin(index, hits, ns_g, ids_d))
 
-    for start in range(0, nq, chunk):
-        q = qarr[start : start + chunk]
-        a = act_all[start : start + chunk]
-        ids = qids[start : start + chunk]
-        if q.shape[0] < chunk and nq > chunk:  # pad to the compiled shape
-            pad_n = chunk - q.shape[0]
+    for start in range(0, nq, chunk_g):
+        q = qarr[start : start + chunk_g]
+        a = act_all[start : start + chunk_g]
+        ids = qids[start : start + chunk_g]
+        # pad to the compiled shape (multi-chunk runs) or to a mesh-size
+        # multiple (single chunk on a mesh)
+        want = chunk_g if nq > chunk_g else -(-q.shape[0] // n_dev) * n_dev
+        if q.shape[0] < want:
+            pad_n = want - q.shape[0]
             q = np.concatenate([q, np.zeros((pad_n, q.shape[1]), dtype=q.dtype)])
             a = np.concatenate([a, np.zeros(pad_n, dtype=bool)])
             ids = np.concatenate([ids, np.zeros(pad_n, dtype=ids.dtype)])
@@ -269,7 +281,8 @@ def _run_workq_grouped(
             # dedup merges dominated states (duplicate enumeration
             # orderings); hit positions are unchanged
             st = dispatch_workq(
-                index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True, max_hits=max_hits
+                index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True,
+                max_hits=max_hits, mesh=mesh,
             )
             inflight.append((st, ids, gt.num_searches))
     while inflight:
@@ -305,27 +318,14 @@ def _run_workq_mesh(
     edit: bool,
     active: np.ndarray | None,
     max_hits: int,
+    chunk: int = 8192,
 ) -> SearchResult:
-    """Data-parallel workq driver: split oversized schemes into tape groups
-    (like _run_workq_grouped) and run each group SPMD over the mesh."""
-    from sahara_tpu.parallel.search import distributed_workq_search
-
-    ns_total = tape.num_searches
-    groups = [
-        SchemeTape(
-            side=tape.side[g : g + MAX_NS],
-            qpos=tape.qpos[g : g + MAX_NS],
-            lo=tape.lo[g : g + MAX_NS],
-            hi=tape.hi[g : g + MAX_NS],
-        )
-        for g in range(0, ns_total, MAX_NS)
-    ]
-    results = []
-    for gt in groups:
-        hits, _ = distributed_workq_search(mesh, index, qarr, gt, edit=edit, active=active)
-        results.append(_locate_flat_hits(index, hits, gt.num_searches, qids))
-    merged = _merge_results(results)
-    return _cap_hits_per_query(merged, max_hits)
+    """Data-parallel workq driver: _run_workq_grouped over the mesh (full
+    single-chip quality: capmem plans, pre-uploaded tapes, pipelining)."""
+    return _run_workq_grouped(
+        index, qarr, tape, qids, edit=edit, active=active,
+        max_hits=max_hits, chunk=chunk, mesh=mesh,
+    )
 
 
 def _run_sv_mesh(
@@ -603,7 +603,7 @@ def search_queries(
                 if use_mesh:
                     res_fb = _run_workq_mesh(
                         index, qarr, compile_tape(ess), qids, mesh=mesh,
-                        edit=edit, active=fallback, max_hits=0,
+                        edit=edit, active=fallback, max_hits=0, chunk=chunk,
                     )
                 else:
                     res_fb = _run_workq_grouped(
@@ -635,7 +635,7 @@ def search_queries(
                     results.append(
                         _run_workq_mesh(
                             index, qarr, tape, qids, mesh=mesh, edit=edit,
-                            active=None, max_hits=max_hits,
+                            active=None, max_hits=max_hits, chunk=chunk,
                         )
                     )
                 else:
@@ -673,7 +673,7 @@ def search_queries(
                     if use_mesh:
                         res = _run_workq_mesh(
                             index, qarr, tape, qids, mesh=mesh, edit=edit,
-                            active=active, max_hits=max_hits,
+                            active=active, max_hits=max_hits, chunk=chunk,
                         )
                     else:
                         res = _run_workq_grouped(

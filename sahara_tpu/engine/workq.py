@@ -980,6 +980,49 @@ def _sibling_bootstrap(cap_key: tuple) -> dict | None:
     return mem
 
 
+# SPMD callables for mesh dispatch, keyed on (mesh, static engine config):
+# rebuilding jit(shard_map(...)) per call would miss jax's compile cache
+# (jit keys on callable identity), so the wrappers are cached here
+_MESH_FNS: dict[tuple, object] = {}
+
+
+def _mesh_workq_fn(mesh, index, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
+                   dedup_every, cap_per_query, packed):
+    """One SPMD program: per-device workq_search on the local query shard
+    against the replicated index; packed outputs stacked on the data axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from sahara_tpu.parallel.mesh import DATA_AXIS
+
+    key = (mesh, edit, plan, tail_cap, hq_cap, m, ns, k, ph0, dedup_every,
+           cap_per_query, packed)
+    fn = _MESH_FNS.get(key)
+    if fn is not None:
+        return fn
+    idx_spec = jax.tree.map(lambda _: P(), index)
+
+    def body(idx, q, side, qpos, lo, hi, act):
+        out = workq_search(
+            idx, q, side, qpos, lo, hi, act,
+            edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
+            m=m, ns=ns, k=k, ph0=ph0, dedup_every=dedup_every,
+            cap_per_query=cap_per_query, packed=packed,
+        )
+        return out.reshape(1, -1)
+
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(idx_spec, P(DATA_AXIS, None), P(), P(), P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS, None),
+            check_vma=False,
+        )
+    )
+    _MESH_FNS[key] = fn
+    return fn
+
+
 def _workq_attempt(st: dict) -> None:
     """Select a capacity plan from the attempt state and launch ONE device
     call (async — the result future lands in st['dev_out'])."""
@@ -1017,6 +1060,16 @@ def _workq_attempt(st: dict) -> None:
         plan = ((main_steps, st["q_cap"]),) if main_steps else ()
         tail_cap = st["q_cap"]
     st["cur_hq"] = st["hq_cap"]
+    mesh = st.get("mesh")
+    if mesh is not None:
+        fn = _mesh_workq_fn(
+            mesh, st["index"], edit=st["edit"], plan=plan, tail_cap=tail_cap,
+            hq_cap=st["hq_cap"], m=st["m"], ns=st["ns"], k=st["k"], ph0=st["ph0"],
+            dedup_every=st["dedup_every"], cap_per_query=st["cap_per_query"],
+            packed=st["packed"],
+        )
+        st["dev_out"] = fn(st["index"], st["queries_j"], *st["device_tape"], st["act_j"])
+        return
     st["dev_out"] = workq_search(
         st["index"], st["queries_j"], *st["device_tape"], st["act_j"],
         edit=st["edit"], plan=plan, tail_cap=tail_cap, hq_cap=st["hq_cap"],
@@ -1041,11 +1094,20 @@ def dispatch_workq(
     dedup_every: int | None = None,
     max_hits: int = 0,
     packed: bool | None = None,
+    mesh=None,
 ) -> dict:
     """Plan capacities and launch the search WITHOUT blocking on the
     result: jax dispatch is async, so the caller can overlap host work
     (or launch further chunks) and call :func:`collect_workq` later.
-    Returns an opaque attempt-state dict."""
+    Returns an opaque attempt-state dict.
+
+    With ``mesh`` the call runs SPMD over the data axis: ``queries`` rows
+    (a multiple of the mesh size) are sharded contiguously per device, the
+    index must be replicated on the mesh, and ALL single-chip quality
+    machinery — capmem capacity memory, live-profile segment plans, the
+    probe bootstrap, overflow retries — applies per device (the capacity
+    key uses the per-device query count, so profiles transfer between
+    single-chip and mesh runs of the same per-device workload)."""
     import os
 
     if packed is None:
@@ -1056,52 +1118,71 @@ def dispatch_workq(
         # latency (slightly larger queue) for step cost
         dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "1")) if dedup else 0
     nq, m = queries.shape
+    n_dev = mesh.devices.size if mesh is not None else 1
+    if nq % n_dev:
+        raise ValueError(f"query count {nq} not a multiple of the mesh size {n_dev}")
+    nq_local = nq // n_dev
     ns = tape.num_searches
     k = tape.max_errors
-    b = nq * ns
+    b = nq_local * ns
     ph0 = phase0_length(tape, edit)
     main_steps, tail_steps = main_tail_steps(m, ph0, k, edit)
     if device_tape is None:
-        device_tape = upload_tape(tape)
+        device_tape = upload_tape(tape, mesh=mesh)
 
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
     # ph0 is part of the key: it sets main/tail step counts, so profiles
     # from tapes with a different exact-prefix length are not interchangeable
     _capmem_load()
-    cap_key = (nq, ns, m, k, ph0, edit, dedup_every, cap_per_query, int(index.n))
+    cap_key = (nq_local, ns, m, k, ph0, edit, dedup_every, cap_per_query, int(index.n))
     mem = _CAP_MEMORY.get(cap_key)
     if mem is None:
         mem = _sibling_bootstrap(cap_key)
-    if mem is None and nq > 2 * _PROBE_NQ and not _PROFILE_BRANCHES:
+    if mem is None and nq_local > 2 * _PROBE_NQ and not _PROFILE_BRANCHES:
         # cold start at large nq: profile a small query slice first, then
         # scale its live profile up.  This keeps the first full-size call on
         # a segmented plan — the flat-capacity first pass at >=2^18 caps
         # MISCOMPILES on the axon TPU backend (near-empty hit sets/phantom
-        # overflow flags; small flat caps and all segmented plans are fine)
+        # overflow flags; small flat caps and all segmented plans are fine).
+        # On a mesh the probe runs as a replicated computation (the index is
+        # committed to every device); its profile scales to nq_local.
         run_workq_search(
             index, np.asarray(queries)[:_PROBE_NQ], tape, edit=edit,
-            device_tape=device_tape, dedup=dedup_every > 0,
+            device_tape=device_tape if mesh is None else None,
+            dedup=dedup_every > 0,
             dedup_every=dedup_every, max_hits=max_hits, packed=packed,
         )
         mem = _sibling_bootstrap(cap_key)
     use_profile = mem is not None and mem.get("profile") is not None
     if mem is None:
-        q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq * hit_mult)
+        q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq_local * hit_mult)
         mem = {"q_cap": q_cap, "hq_cap": hq_cap, "profile": None, "plan": None}
     else:
         q_cap, hq_cap = mem["q_cap"], mem["hq_cap"]
+    act_host = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sahara_tpu.parallel.mesh import DATA_AXIS
+
+        queries_j = jax.device_put(
+            np.asarray(queries, dtype=np.int32), NamedSharding(mesh, P(DATA_AXIS, None))
+        )
+        act_j = jax.device_put(act_host, NamedSharding(mesh, P(DATA_AXIS)))
+    else:
+        queries_j = jnp.asarray(queries, dtype=jnp.int32)
+        act_j = jnp.asarray(act_host)
     st = {
         "index": index,
-        "queries_j": jnp.asarray(queries, dtype=jnp.int32),
-        "act_j": jnp.asarray(
-            np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
-        ),
+        "queries_j": queries_j,
+        "act_j": act_j,
         "device_tape": device_tape,
         "edit": edit, "m": m, "ns": ns, "k": k, "ph0": ph0,
         "dedup_every": dedup_every, "cap_per_query": cap_per_query, "packed": packed,
         "main_steps": main_steps, "tail_steps": tail_steps,
         "cap_key": cap_key, "mem": mem, "use_profile": use_profile,
         "q_cap": q_cap, "hq_cap": hq_cap, "max_retries": max_retries, "attempt": 0,
+        "mesh": mesh, "n_dev": n_dev, "nq_local": nq_local,
     }
     _workq_attempt(st)
     return st
@@ -1109,16 +1190,30 @@ def dispatch_workq(
 
 def collect_workq(st: dict) -> FlatHits:
     """Block on a dispatched search, parse it, and run the overflow retry
-    loop (synchronously) if its static buffers were too small."""
+    loop (synchronously) if its static buffers were too small.
+
+    Mesh dispatches come back as [n_dev, L] stacked shard outputs: hits
+    merge with lanes shifted to global query ids; overflow flags OR,
+    peak/profile aggregates take the per-device max (capacity memory then
+    records the per-device envelope, matching the single-chip key)."""
     while True:
         out = np.asarray(st["dev_out"])  # ONE device->host transfer
         hq_cap = st["cur_hq"]
-        n_hits = int(out[4 * hq_cap])
-        q_ovf_b = bool(out[4 * hq_cap + 1])
-        h_ovf_b = bool(out[4 * hq_cap + 2])
-        max_live = int(out[4 * hq_cap + 3])
-        n_true = int(out[4 * hq_cap + 4])
-        profile = out[4 * hq_cap + 8 :]
+        if st.get("mesh") is not None:
+            shards = out  # [n_dev, 4*hq_cap + 8 + profile]
+            n_hits = int(shards[:, 4 * hq_cap].sum())
+            q_ovf_b = bool(shards[:, 4 * hq_cap + 1].any())
+            h_ovf_b = bool(shards[:, 4 * hq_cap + 2].any())
+            max_live = int(shards[:, 4 * hq_cap + 3].max())
+            n_true = int(shards[:, 4 * hq_cap + 4].max())
+            profile = shards[:, 4 * hq_cap + 8 :].max(axis=0)
+        else:
+            n_hits = int(out[4 * hq_cap])
+            q_ovf_b = bool(out[4 * hq_cap + 1])
+            h_ovf_b = bool(out[4 * hq_cap + 2])
+            max_live = int(out[4 * hq_cap + 3])
+            n_true = int(out[4 * hq_cap + 4])
+            profile = out[4 * hq_cap + 8 :]
         at_cap_limit = (q_ovf_b and st["q_cap"] >= 1 << 23) or (
             h_ovf_b and st["hq_cap"] >= 1 << 23
         )
@@ -1148,6 +1243,28 @@ def collect_workq(st: dict) -> FlatHits:
                 # in steady state every chunk landed here, ~10-20ms each
                 if grown or old is None or _CAP_MEMORY[cap_key]["q_cap"] != old["q_cap"] or _CAP_MEMORY[cap_key]["hq_cap"] != old["hq_cap"]:
                     _capmem_save()
+            if st.get("mesh") is not None:
+                ns, nq_local = st["ns"], st["nq_local"]
+                lanes, lbs, szs, errs = [], [], [], []
+                for d in range(st["n_dev"]):
+                    p = out[d]
+                    n_d = int(p[4 * hq_cap])
+                    lanes.append(p[:n_d] + d * nq_local * ns)  # local -> global
+                    lbs.append(p[hq_cap : hq_cap + n_d])
+                    szs.append(p[2 * hq_cap : 2 * hq_cap + n_d])
+                    errs.append(p[3 * hq_cap : 3 * hq_cap + n_d])
+                z = np.zeros(0, np.int32)
+                return FlatHits(
+                    lane=np.concatenate(lanes) if lanes else z,
+                    lb=np.concatenate(lbs) if lbs else z,
+                    sz=np.concatenate(szs) if szs else z,
+                    err=np.concatenate(errs) if errs else z,
+                    n_hits=n_hits,
+                    queue_overflow=q_ovf_b,
+                    hit_overflow=h_ovf_b,
+                    max_live=max_live,
+                    live_profile=profile,
+                )
             n = n_hits
             return FlatHits(
                 lane=out[:n],
@@ -1195,8 +1312,17 @@ def run_workq_search(
     return collect_workq(dispatch_workq(index, queries, tape, **kw))
 
 
-def upload_tape(tape: SchemeTape) -> tuple:
-    """Upload tape arrays to device once (reused across query chunks)."""
+def upload_tape(tape: SchemeTape, mesh=None) -> tuple:
+    """Upload tape arrays to device once (reused across query chunks).
+    With ``mesh``, replicate them across all mesh devices."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P())
+        return tuple(
+            jax.device_put(np.asarray(a), sh)
+            for a in (tape.side, tape.qpos, tape.lo, tape.hi)
+        )
     return (
         jnp.asarray(tape.side),
         jnp.asarray(tape.qpos),

@@ -67,6 +67,14 @@ def _ranks_of(seqs: list[np.ndarray]) -> list[np.ndarray]:
     return [np.asarray(s, dtype=np.uint8) for s in seqs]
 
 
+def _rev_occ(text: np.ndarray, sigma: int) -> np.ndarray:
+    """Reversed-text occ table for right extensions (no CSA on this side)."""
+    rev = text[::-1].copy()
+    sa_r = suffix_array(rev)
+    bwt_r = rev[(sa_r - 1) % len(rev)]
+    return build_occ(bwt_r, sigma)
+
+
 def build_fmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: int = 16) -> FMIndex:
     seqs = _ranks_of(seqs)
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
@@ -87,17 +95,27 @@ def build_fmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: 
     )
 
 
-def build_bifmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: int = 16) -> BiFMIndex:
+def build_bifmindex(
+    seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: int = 16, threads: int = 1
+) -> BiFMIndex:
+    """``threads`` >= 2 builds the forward and reversed suffix arrays
+    concurrently (the two SA-IS calls dominate build wall-clock and the
+    native code + NumPy release the GIL) — the reference's ``threadNbr``
+    ctor analogue (rbi-index-dna4.cpp:75 uses 10 threads)."""
     seqs = _ranks_of(seqs)
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
     text, starts = build_text(seqs, rate)
-    occ, c_arr, sampled, sseq, spos = _build_core(text, sigma, rate, starts, seq_lens)
+    if threads >= 2 and len(text) >= 1 << 22:
+        from concurrent.futures import ThreadPoolExecutor
 
-    # reversed-text occ table for right extensions (no CSA needed on this side)
-    rev = text[::-1].copy()
-    sa_r = suffix_array(rev)
-    bwt_r = rev[(sa_r - 1) % len(rev)]
-    occ_rev = build_occ(bwt_r, sigma)
+        with ThreadPoolExecutor(2) as ex:
+            fwd_fut = ex.submit(_build_core, text, sigma, rate, starts, seq_lens)
+            rev_fut = ex.submit(_rev_occ, text, sigma)
+            occ, c_arr, sampled, sseq, spos = fwd_fut.result()
+            occ_rev = rev_fut.result()
+    else:
+        occ, c_arr, sampled, sseq, spos = _build_core(text, sigma, rate, starts, seq_lens)
+        occ_rev = _rev_occ(text, sigma)
 
     return BiFMIndex(
         sigma=sigma,

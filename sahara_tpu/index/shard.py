@@ -93,19 +93,36 @@ def build_sharded_bifmindex(
     rate: int = 16,
     max_chars: int = DEFAULT_MAX_CHARS,
     overlap: int = DEFAULT_WINDOW_OVERLAP,
+    threads: int = 1,
 ) -> BiFMIndex | ShardedIndex:
-    """Build a single BiFMIndex when everything fits, else a ShardedIndex."""
+    """Build a single BiFMIndex when everything fits, else a ShardedIndex.
+
+    ``threads`` parallelizes the build: shards build concurrently on a
+    thread pool (SA-IS + the NumPy occ packing release the GIL), with each
+    shard additionally overlapping its forward/reverse suffix sorts when
+    the budget allows (the reference builds with ``threadNbr=10``,
+    rbi-index-dna4.cpp:75 — this is the TPU build's host-side analogue)."""
     lens = [len(s) for s in seqs]
     plan = plan_shards(lens, max_chars, overlap)
     if len(plan) == 1 and all(w == 0 for _, w, _ in plan[0]):
-        return build_bifmindex(seqs, sigma, alphabet_name, rate=rate)
-    shards, gids, offs = [], [], []
+        return build_bifmindex(seqs, sigma, alphabet_name, rate=rate, threads=threads)
     windowed = sorted({gid for shard in plan for gid, w, _ in shard if w > 0})
-    for shard in plan:
+
+    def _one(shard):
         sub = [np.asarray(seqs[gid][w : w + ln], dtype=np.uint8) for gid, w, ln in shard]
-        shards.append(build_bifmindex(sub, sigma, alphabet_name, rate=rate))
-        gids.append(np.array([gid for gid, _, _ in shard], dtype=np.int64))
-        offs.append(np.array([w for _, w, _ in shard], dtype=np.int64))
+        inner = 2 if threads > len(plan) else 1
+        return build_bifmindex(sub, sigma, alphabet_name, rate=rate, threads=inner)
+
+    if threads >= 2 and len(plan) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        outer = min(len(plan), max(1, threads if threads <= len(plan) else (threads + 1) // 2))
+        with ThreadPoolExecutor(outer) as ex:
+            shards = list(ex.map(_one, plan))
+    else:
+        shards = [_one(shard) for shard in plan]
+    gids = [np.array([gid for gid, _, _ in shard], dtype=np.int64) for shard in plan]
+    offs = [np.array([w for _, w, _ in shard], dtype=np.int64) for shard in plan]
     return ShardedIndex(
         shards=shards,
         seq_gid=gids,

@@ -109,92 +109,42 @@ def distributed_workq_search(
     ``active`` optionally masks queries off (besthits strata / fallback
     subsets); inactive lanes produce no hits.
 
-    Returns (FlatHits with lanes over the ORIGINAL query ids, total)."""
+    Returns (FlatHits with lanes over the ORIGINAL query ids, total).
+
+    Implemented on the single-chip quality path (dispatch_workq with
+    ``mesh``): capmem capacity memory, live-profile segment plans, the
+    probe bootstrap, and overflow retries all apply per device.  Drivers
+    that chunk + pipeline use dispatch_workq/collect_workq directly
+    (engine/driver.py::_run_workq_grouped)."""
+    from sahara_tpu.engine.workq import collect_workq, dispatch_workq
+
     nq, m = queries.shape
     ns = tape.num_searches
-    k = tape.max_errors
-    ph0 = phase0_length(tape, edit)
-    q_sharded, nq_orig = shard_queries(queries, mesh)
-    nq_pad = q_sharded.shape[0]
     n_dev = mesh.devices.size
-    nq_local = nq_pad // n_dev
+    pad = (-nq) % n_dev
+    act = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+    if pad:
+        queries = np.concatenate([queries, np.zeros((pad, m), dtype=queries.dtype)])
+        act = np.concatenate([act, np.zeros(pad, dtype=bool)])
 
-    def _cap(x):
-        n = 512
-        while n < x:
-            n *= 2
-        return n
-
-    q_cap = _cap(nq_local * ns * q_mult)
-    hq_cap = _cap(nq_local * hit_mult)
-
-    t_side = jnp.asarray(tape.side)
-    t_qpos = jnp.asarray(tape.qpos)
-    t_lo = jnp.asarray(tape.lo)
-    t_hi = jnp.asarray(tape.hi)
-    act = np.arange(nq_pad) < nq_orig
-    if active is not None:
-        act[:nq_orig] &= np.asarray(active, dtype=bool)
-    active = act
-
-    main_steps, _ = main_tail_steps(m, ph0, k, edit)
-
-    def make_fn(q_cap, hq_cap):
-        plan = ((main_steps, q_cap),) if main_steps else ()
-
-        def shard_fn(index, q_shard, side, qpos, lo, hi, act):
-            packed = workq_search(
-                index, q_shard, side, qpos, lo, hi, act,
-                edit=edit, plan=plan, tail_cap=q_cap, hq_cap=hq_cap,
-                m=m, ns=ns, k=k, ph0=ph0, dedup_every=1 if dedup else 0,
-            )
-            total = jax.lax.psum(packed[4 * hq_cap], DATA_AXIS)
-            return packed.reshape(1, -1), total.reshape(1)
-
-        idx_spec = jax.tree.map(lambda _: P(), index)
-        return jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(idx_spec, P(DATA_AXIS, None), P(), P(), P(), P(), P(DATA_AXIS)),
-            out_specs=(P(DATA_AXIS, None), P(DATA_AXIS)),
-            check_vma=False,
+    st = dispatch_workq(
+        index, queries, tape, edit=edit, active=act, q_mult=q_mult,
+        hit_mult=hit_mult, max_retries=max_retries,
+        dedup=dedup, mesh=mesh,
+    )
+    hits = collect_workq(st)
+    if hits.queue_overflow or hits.hit_overflow:
+        raise RuntimeError(
+            "distributed workq search overflowed after retries "
+            f"(queue={hits.queue_overflow}, hits={hits.hit_overflow}); "
+            "hits would be dropped"
         )
-
-    act_sharded = jax.device_put(active, NamedSharding(mesh, P(DATA_AXIS)))
-    for attempt in range(max_retries):
-        fn = make_fn(q_cap, hq_cap)
-        packed_all, totals = jax.jit(fn)(index, q_sharded, t_side, t_qpos, t_lo, t_hi, act_sharded)
-        packed_all = np.asarray(packed_all)  # [n_dev, 4*hq_cap+8]
-        overflow_q = bool(packed_all[:, 4 * hq_cap + 1].any())
-        overflow_h = bool(packed_all[:, 4 * hq_cap + 2].any())
-        if not (overflow_q or overflow_h):
-            break
-        if attempt == max_retries - 1:
-            raise RuntimeError(
-                "distributed workq search overflowed after retries "
-                f"(queue={overflow_q}, hits={overflow_h}); hits would be dropped"
-            )
-        if overflow_q:
-            q_cap *= 2
-        if overflow_h:
-            hq_cap *= 2
-
-    lanes, lbs, szs, errs = [], [], [], []
-    for shard in range(n_dev):
-        p = packed_all[shard]
-        n = int(p[4 * hq_cap])
-        lane = p[:n] + shard * nq_local * ns  # shift local lanes to global
-        lanes.append(lane)
-        lbs.append(p[hq_cap : hq_cap + n])
-        szs.append(p[2 * hq_cap : 2 * hq_cap + n])
-        errs.append(p[3 * hq_cap : 3 * hq_cap + n])
-    lane = np.concatenate(lanes) if lanes else np.zeros(0, np.int32)
-    keep = (lane // ns) < nq_orig
+    keep = (hits.lane // ns) < nq
     hits = FlatHits(
-        lane=lane[keep],
-        lb=np.concatenate(lbs)[keep],
-        sz=np.concatenate(szs)[keep],
-        err=np.concatenate(errs)[keep],
+        lane=hits.lane[keep],
+        lb=hits.lb[keep],
+        sz=hits.sz[keep],
+        err=hits.err[keep],
         n_hits=int(keep.sum()),
         queue_overflow=False,
         hit_overflow=False,

@@ -54,3 +54,26 @@ def test_uni_index_roundtrip(tmp_path):
     back = load_index(p)
     assert not isinstance(back, BiFMIndex)
     assert (back.occ == idx.occ).all()
+
+
+def test_threaded_build_byte_identical():
+    """threads>1 parallelizes the build (shards concurrent, fwd/rev SA
+    overlapped) without changing a single byte of the index arrays."""
+    import numpy as np
+
+    from sahara_tpu.index.build import build_bifmindex
+    from sahara_tpu.index.shard import build_sharded_bifmindex
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(1, 5, size=5000).astype(np.uint8) for _ in range(3)]
+    a = build_bifmindex(seqs, 6, "d_dna5", threads=1)
+    b = build_bifmindex(seqs, 6, "d_dna5", threads=4)
+    for f in ("occ", "occ_rev", "sampled", "sample_seq", "sample_pos", "c_arr"):
+        assert np.array_equal(getattr(a, f), getattr(b, f)), f
+
+    sa = build_sharded_bifmindex(seqs, 6, "d_dna5", max_chars=6000, threads=1)
+    sb = build_sharded_bifmindex(seqs, 6, "d_dna5", max_chars=6000, threads=4)
+    assert sa.num_shards == sb.num_shards > 1
+    for s1, s2 in zip(sa.shards, sb.shards):
+        assert np.array_equal(s1.occ, s2.occ)
+        assert np.array_equal(s1.occ_rev, s2.occ_rev)
