@@ -33,8 +33,14 @@ REF_MB = float(os.environ.get("SAHARA_BENCH_REF_MB", 40))
 # to reach steady state (8192 reads = 2 chunks understates production
 # throughput by ~20% — the pipeline can't hide the last chunk's host work)
 N_QUERIES = int(os.environ.get("SAHARA_BENCH_QUERIES", 65536))
-READ_LEN = 100
-ERRORS = 2
+READ_LEN = int(os.environ.get("SAHARA_BENCH_READ_LEN", 100))
+ERRORS = int(os.environ.get("SAHARA_BENCH_ERRORS", 2))
+# variant knobs (defaults = the headline metric; the driver runs defaults):
+# SAHARA_BENCH_DIST=ham measures Hamming, SAHARA_BENCH_MODE=besthits the
+# best-hits strata, SAHARA_BENCH_ENGINE=workq forces the scheme engine
+DIST = os.environ.get("SAHARA_BENCH_DIST", "lev")
+MODE = os.environ.get("SAHARA_BENCH_MODE", "all")
+ENGINE = os.environ.get("SAHARA_BENCH_ENGINE", "auto")
 # `optimum` (solver-derived) does ~33% fewer live row-steps than the
 # reference's default h2-k2 at e=2/100bp and has a longer exact phase;
 # the hit SET is generator-independent (schemes are complete), so the
@@ -93,9 +99,10 @@ def make_queries(ref: np.ndarray, n_queries: int, seed: int) -> list[np.ndarray]
 
 
 def load_workload():
+    suffix = "" if READ_LEN == 100 and ERRORS == 2 else f"_l{READ_LEN}e{ERRORS}"
     cache_path = os.path.join(
         os.path.expanduser("~"), ".cache", "sahara_tpu",
-        f"bench_ref{REF_MB}_q{N_QUERIES}_v2.npz",
+        f"bench_ref{REF_MB}_q{N_QUERIES}{suffix}_v2.npz",
     )
     if CACHE and os.path.exists(cache_path):
         z = np.load(cache_path)
@@ -150,7 +157,10 @@ def main() -> None:
     index = DeviceIndex.from_host(host)
     t_build = time.monotonic() - t0
 
-    kw = dict(k=ERRORS, generator_name=GENERATOR, edit=True, chunk=CHUNK)
+    kw = dict(
+        k=ERRORS, generator_name=GENERATOR, edit=DIST == "lev", mode=MODE,
+        engine=ENGINE, chunk=CHUNK,
+    )
 
     t0 = time.monotonic()
     r = search_queries(index, queries, **kw)  # compile + cap tuning
@@ -172,8 +182,20 @@ def main() -> None:
         jax.profiler.stop_trace()
     qps = n_reads / dt
 
+    variant = ""
+    if DIST != "lev":
+        variant += f"_{DIST}"
+    if MODE != "all":
+        variant += f"_{MODE}"
+    if ENGINE != "auto":
+        variant += f"_{ENGINE}"
+    base = (
+        f"reads_per_second_e{ERRORS}_{READ_LEN}bp_bothstrands"
+        if REVCOMP
+        else f"queries_per_second_e{ERRORS}_{READ_LEN}bp"
+    )
     result = {
-        "metric": "reads_per_second_e2_100bp_bothstrands" if REVCOMP else "queries_per_second_e2_100bp",
+        "metric": base + variant,
         "value": round(qps, 1),
         "unit": "reads/s/chip" if REVCOMP else "q/s/chip",
         "vs_baseline": round(qps / BASELINE_QPS_PER_CHIP, 4),
