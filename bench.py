@@ -173,9 +173,14 @@ def main() -> None:
         import jax
 
         jax.profiler.start_trace(os.path.expanduser("~/.cache/sahara_tpu/trace"))
-    t0 = time.monotonic()
-    r = search_queries(index, queries, **kw)
-    dt = time.monotonic() - t0
+    # best-of-3 steady passes: same-binary steady times range 2-16s
+    # through the tunnel (NOTES_r3 variance caveat); the best pass is the
+    # stable comparator (bench_rank.py uses the same protocol)
+    dt = float("inf")
+    for _ in range(1 if PROFILE else 3):
+        t0 = time.monotonic()
+        r = search_queries(index, queries, **kw)
+        dt = min(dt, time.monotonic() - t0)
     if PROFILE:
         import jax
 
