@@ -46,9 +46,9 @@ ENGINE = os.environ.get("SAHARA_BENCH_ENGINE", "auto")
 # the hit SET is generator-independent (schemes are complete), so the
 # bench uses the cheapest generator, like any production deployment would
 GENERATOR = os.environ.get("SAHARA_BENCH_GENERATOR", "optimum")
-# 8192-query chunks measured fastest on v5e (32k chunks hit super-linear
-# marginal costs: 3.8k q/s vs 6.1k q/s at 8k)
-CHUNK = int(os.environ.get("SAHARA_BENCH_CHUNK", 8192))
+# 16384-query chunks measured fastest on v5e round 3 (SV 33.6k reads/s vs
+# 25.7k at 8k; 24k/32k chunks regress with super-linear marginal costs)
+CHUNK = int(os.environ.get("SAHARA_BENCH_CHUNK", 16384))
 CACHE = os.environ.get("SAHARA_BENCH_CACHE", "1") == "1"
 PROFILE = os.environ.get("SAHARA_BENCH_PROFILE", "") == "1"
 # the reference expands every read to fwd + reverse-complement before search

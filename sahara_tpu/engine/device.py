@@ -52,6 +52,11 @@ class DeviceIndex:
     # consumed by the seed-and-verify engine (engine/seedverify.py)
     text4: jax.Array | None = None  # int32[ceil(n/8)]
     seq_starts: jax.Array | None = None  # int32[num_seqs]
+    # j-mer prefix lookup (index/jmer.py): (lo | hi) interval per length-
+    # lut_j DNA pattern, int32[2 * 4^lut_j]; lets the seed scan skip its
+    # first lut_j steps.  0 = absent.
+    lut: jax.Array | None = None
+    lut_j: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def bidirectional(self) -> bool:
@@ -97,6 +102,16 @@ class DeviceIndex:
         counts = np.diff(np.append(c_host[: index.sigma], index.n))
         present = np.nonzero(counts[1:] > 0)[0]  # symbol ranks 1.. present
         sigma_live = int(present[-1]) + 2 if len(present) else 2
+        lut = None
+        lut_j = 0
+        if index.text4 is not None and index.sigma <= 6:
+            # seed-scan skip table for the SV engine (index/jmer.py)
+            from sahara_tpu.index.jmer import build_jmer_lut, pick_lut_j
+
+            lut_j = pick_lut_j(index.n)
+            lut = put(
+                build_jmer_lut(np.asarray(index.occ), c_host, index.sigma, index.n, lut_j)
+            )
         return DeviceIndex(
             occ=occ,
             c_arr=put(np.asarray(index.c_arr, dtype=np.int32)),
@@ -114,6 +129,8 @@ class DeviceIndex:
             seq_starts=(
                 put(index.seq_starts().astype(np.int32)) if index.text4 is not None else None
             ),
+            lut=lut,
+            lut_j=lut_j,
         )
 
 

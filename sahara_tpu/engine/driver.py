@@ -522,7 +522,11 @@ def search_queries(
     dynamic: bool = False,
     s_cap: int = 64,
     h_cap: int = 32,
-    chunk: int = 1024,
+    # 16384-query chunks measured fastest on v5e for both engines (r3:
+    # SV 33.6k vs 25.7k reads/s at 8192; 24k/32k chunks regress) — the
+    # per-op fixed dispatch cost through the tunnel amortizes with nq
+    # until compile-size effects bite
+    chunk: int = 16384,
     engine: str = "auto",
     query_ids: np.ndarray | None = None,
     sv_part_cap: int | None = None,

@@ -81,6 +81,22 @@ def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int
     return tuple(parts)
 
 
+def seed_bad_mask(
+    index: DeviceIndex, queries: np.ndarray, parts: tuple[tuple[int, int], ...]
+) -> np.ndarray | None:
+    """Queries whose table-covered part suffixes carry ranks the j-mer
+    table cannot encode (N, sentinels — anything outside 1..4): their seed
+    intervals are garbage under the table path and they must fall back to
+    a scheme engine.  None when the table path is inactive."""
+    j = index.lut_j
+    if index.lut is None or j <= 0 or min(ln for _, ln in parts) < j:
+        return None
+    cols = [off + ln - 1 - i for off, ln in parts for i in range(j)]
+    sub = queries[:, cols]
+    bad = ((sub < 1) | (sub > 4)).any(axis=1)
+    return bad if bad.any() else None
+
+
 def sv_eligible(index: DeviceIndex, m: int, k: int) -> bool:
     return (
         index.text4 is not None
@@ -109,12 +125,32 @@ def seed_parts(
     maxlen = max(ln for _, ln in parts)
     sym_iota = jnp.arange(sigma, dtype=jnp.int32)[None, :]
 
-    lo = jnp.zeros((nq, p_cnt), dtype=jnp.int32)
-    hi = jnp.full((nq, p_cnt), jnp.int32(index.n))
+    # j-mer table skip: the first lut_j steps of every lane collapse into
+    # one (lo, hi) lookup per (query, part) — digits are the consumed
+    # ranks - 1, little-endian in consumption order (index/jmer.py).
+    # Queries carrying ranks outside 1..4 take the table path with a
+    # clamped code and produce garbage intervals; the driver flags them
+    # for scheme-engine fallback BEFORE expansion (expand_seeds zeroes
+    # their sizes), so those lanes never reach verification.
+    t0 = 0
+    if index.lut is not None and index.lut_j > 0 and min(ln for _, ln in parts) >= index.lut_j:
+        j = index.lut_j
+        code = jnp.zeros((nq, p_cnt), dtype=jnp.int32)
+        for i in range(j):
+            cols = [off + ln - 1 - i for off, ln in parts]
+            c = jnp.stack([queries[:, col] for col in cols], axis=1)  # [nq, P]
+            code = code + ((c - 1) << (2 * i))
+        code = jnp.clip(code, 0, (1 << (2 * j)) - 1)
+        lo = jnp.take(index.lut, code.reshape(-1)).reshape(nq, p_cnt)
+        hi = jnp.take(index.lut, code.reshape(-1) + (1 << (2 * j))).reshape(nq, p_cnt)
+        t0 = j
+    else:
+        lo = jnp.zeros((nq, p_cnt), dtype=jnp.int32)
+        hi = jnp.full((nq, p_cnt), jnp.int32(index.n))
 
     # unrolled lockstep: step t consumes char off+len-1-t of every part still
     # active (static per step), one fused two-edge rank gather for all parts
-    for t in range(maxlen):
+    for t in range(t0, maxlen):
         cols = [off + max(ln - 1 - t, 0) for off, ln in parts]
         act = [ln > t for _, ln in parts]
         c = jnp.stack([queries[:, col] for col in cols], axis=1)  # [nq, P]
@@ -142,21 +178,29 @@ def expand_seeds(
     parts: tuple[tuple[int, int], ...],
     active: np.ndarray | None,
     part_cap: int = PART_CAP,
+    bad: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Host ragged expansion of part intervals into candidate rows.
 
     Returns (rows int32[R] — SA rows, q_of int32[R], off_of int32[R] — the
     part's query offset, fallback bool[nq]).  Exact (host-side), so
     candidates can never overflow a device buffer.  Queries with any part
-    interval larger than ``part_cap`` are excluded entirely and flagged in
-    ``fallback`` — the caller must search them with a scheme engine (see
-    PART_CAP above for why partial expansion would lose hits)."""
+    interval larger than ``part_cap``, plus any flagged in ``bad`` (ranks
+    the j-mer table cannot encode — their seed intervals are garbage), are
+    excluded entirely and flagged in ``fallback`` — the caller must search
+    them with a scheme engine (see PART_CAP above for why partial
+    expansion would lose hits)."""
     p_cnt = len(parts)
     lo = packed[: nq * p_cnt].astype(np.int64)
     sz = packed[nq * p_cnt :].astype(np.int64)
     if active is not None:
         sz = np.where(np.repeat(np.asarray(active, dtype=bool), p_cnt), sz, 0)
     fallback = (sz.reshape(nq, p_cnt) > part_cap).any(axis=1)
+    if bad is not None:
+        b = np.asarray(bad, dtype=bool)
+        if active is not None:
+            b = b & np.asarray(active, dtype=bool)
+        fallback = fallback | b
     if fallback.any():
         sz = np.where(np.repeat(fallback, p_cnt), 0, sz)
     total = int(sz.sum())
@@ -388,6 +432,7 @@ def dispatch_sv(
     return {
         "fut": fut, "qdev": qdev, "nq": nq, "m": m, "k": k, "edit": edit,
         "parts": parts, "active": active, "index": index, "part_cap": part_cap,
+        "bad": seed_bad_mask(index, np.asarray(queries), parts),
     }
 
 
@@ -399,7 +444,8 @@ def collect_sv_expand(st: dict) -> None:
     the two device calls — split out so drivers can pipeline)."""
     packed = np.asarray(st["fut"])
     rows, q_of, off_of, fallback = expand_seeds(
-        packed, st["nq"], st["parts"], st["active"], st.get("part_cap", PART_CAP)
+        packed, st["nq"], st["parts"], st["active"], st.get("part_cap", PART_CAP),
+        bad=st.get("bad"),
     )
     st["cands"] = (rows, q_of, off_of)
     st["fallback"] = fallback

@@ -93,17 +93,22 @@ def _dispatch_seed_chunk(mesh, index, seed_fn, qchunk, act, n_dev):
     """Shard one padded query chunk and launch the SPMD seed scan."""
     q_sh = jax.device_put(qchunk, NamedSharding(mesh, P(DATA_AXIS, None)))
     fut = seed_fn(index, q_sh)
-    return {"fut": fut, "qdev": q_sh, "act": act, "nq": qchunk.shape[0]}
+    return {"fut": fut, "qdev": q_sh, "qhost": qchunk, "act": act, "nq": qchunk.shape[0]}
 
 
-def _expand_chunk(st, parts, n_dev, part_cap):
+def _expand_chunk(st, index, parts, n_dev, part_cap):
     """Host expansion per device shard (blocks on this chunk's seed)."""
+    from sahara_tpu.engine.seedverify import seed_bad_mask
+
     packed = np.asarray(st["fut"])  # [n_dev, 2 * nq_local * P]
     nq_local = st["nq"] // n_dev
     cands, fallback = [], []
     for d in range(n_dev):
-        a = st["act"][d * nq_local : (d + 1) * nq_local]
-        rows, q_of, off_of, fb = expand_seeds(packed[d], nq_local, parts, a, part_cap)
+        sl = slice(d * nq_local, (d + 1) * nq_local)
+        bad = seed_bad_mask(index, st["qhost"][sl], parts)
+        rows, q_of, off_of, fb = expand_seeds(
+            packed[d], nq_local, parts, st["act"][sl], part_cap, bad=bad
+        )
         cands.append((rows, q_of, off_of))
         fallback.append(fb)
     st["cands"] = cands
@@ -242,11 +247,11 @@ def distributed_sv_search(
         st["start"] = start
         sts.append(st)
         if prev is not None:
-            _expand_chunk(prev, parts, n_dev, part_cap)
+            _expand_chunk(prev, index, parts, n_dev, part_cap)
             _dispatch_verify_chunk(prev, mesh, index, verify_cache, m=m, k=k, edit=edit, n_dev=n_dev)
         prev = st
     if prev is not None:
-        _expand_chunk(prev, parts, n_dev, part_cap)
+        _expand_chunk(prev, index, parts, n_dev, part_cap)
         _dispatch_verify_chunk(prev, mesh, index, verify_cache, m=m, k=k, edit=edit, n_dev=n_dev)
 
     all_q, all_p, all_e = [], [], []

@@ -180,6 +180,63 @@ def test_search_queries_repeat_fallback_exact(edit):
     assert got == want
 
 
+def test_sv_jmer_table_matches_scan():
+    """Seed results with the j-mer skip table == plain scan-from-zero
+    (same index with the table stripped)."""
+    import dataclasses
+
+    rng = np.random.default_rng(17)
+    seqs = random_seqs(rng, 3, min_len=200, max_len=400, sigma=5)
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    assert dev.lut is not None and dev.lut_j >= 2
+    dev_nolut = dataclasses.replace(dev, lut=None, lut_j=0)
+    m, k = 36, 2
+    queries = np.stack(
+        [np.asarray(seqs[i % 3][5 * i : 5 * i + m], dtype=np.int32) for i in range(12)]
+    )
+    a = run_sv_search(dev, queries, k, edit=True)
+    b = run_sv_search(dev_nolut, queries, k, edit=True)
+    got_a = set(zip(a.q_idx.tolist(), a.abs_pos.tolist(), a.err.tolist()))
+    got_b = set(zip(b.q_idx.tolist(), b.abs_pos.tolist(), b.err.tolist()))
+    assert got_a == got_b and len(got_a) >= 12
+
+
+@pytest.mark.parametrize("edit", [True, False])
+def test_search_queries_n_query_fallback_exact(edit):
+    """Queries carrying N (rank 5) in table-covered positions are routed
+    to the scheme engine (the j-mer table cannot encode them); the hit
+    set stays exact."""
+    from sahara_tpu.engine.driver import search_queries
+
+    rng = np.random.default_rng(8)
+    seqs = [rng.integers(1, 5, size=600).astype(np.uint8)]
+    # plant an N (rank 5) into the reference so N-in-query can match
+    seqs[0][100] = 5
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 2
+    q_n_match = np.asarray(seqs[0][80 : 80 + m]).copy()  # contains the text N
+    q_n_sub = np.asarray(seqs[0][300 : 300 + m]).copy()
+    q_n_sub[m - 3] = 5  # N near the end -> table-covered -> fallback
+    q_clean = np.asarray(seqs[0][200 : 200 + m]).copy()
+    queries = [q_n_match, q_n_sub, q_clean]
+    res = search_queries(dev, queries, k=k, edit=edit)
+    got = set(zip(res.query_id.tolist(), res.seq_id.tolist(), res.pos.tolist()))
+    want = set()
+    for qi, q in enumerate(queries):
+        oracle = (
+            brute_edit_hits_minimal(seqs, q, k)
+            if edit
+            else brute_approx_hits(seqs, q, k, hamming=True)
+        )
+        for sid, pos in oracle:
+            want.add((qi, sid, pos))
+    assert got == want
+    assert any(t[0] == 0 for t in got)  # the N-containing window was found
+    assert any(t[0] == 1 for t in got)  # fallback query still exact
+
+
 def test_sv_boundary_and_sentinel():
     """Hits at sequence edges; alignments must not cross sentinels."""
     # two sequences where q matches the END of seq0 and the START of seq1
