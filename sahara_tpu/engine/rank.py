@@ -87,6 +87,38 @@ def rank_all(occ: jax.Array, sigma: int, i: jax.Array, fold: int = 1) -> jax.Arr
     return rank_all_from_row(occ_row(occ, i, fold, sigma), sigma, i)
 
 
+def rank_sym_word(
+    occ: jax.Array, word: jax.Array, sym: jax.Array, i: jax.Array, fold: int, sigma: int
+) -> jax.Array:
+    """Rank of ONE known symbol per lane, straight from the folded wide row.
+
+    Exact backward extension consumes a single query symbol per step;
+    computing all sigma ranks (occ_row_word + rank_all_from_row) then
+    selecting one wastes ~2x the elementwise work of the seed scan's hot
+    step.  Here the (checkpoint, bit-plane) pair of the lane's symbol is
+    selected with two one-hot folds over the RAW wide row — one pass each
+    over [n, 2*sigma*fold] instead of the 8-slice fold + 6-plane popcount.
+
+    ``word`` = absolute occ word index (i >> 5 [+ sub-table offset]),
+    ``sym`` = symbol per lane, ``i`` = bit position (only i & 31 is used).
+    Returns int32[n] = rank_sym(i)."""
+    width = 2 * sigma
+    if fold == 1:
+        wide = jnp.take(occ, word, axis=0)  # [n, width]
+        base = sym
+    else:
+        wide = jnp.take(occ, word >> (fold.bit_length() - 1), axis=0)  # [n, width*fold]
+        base = (word & (fold - 1)) * width + sym
+    lane = jnp.asarray(np.arange(wide.shape[-1], dtype=np.int32))[None, :]
+    ckpt = jnp.where(lane == base[:, None], wide, 0).sum(axis=-1)
+    bits = jnp.where(lane == (base + sigma)[:, None], wide, 0).sum(axis=-1)
+    ubits = lax.bitcast_convert_type(bits, jnp.uint32)
+    off = (i & 31).astype(jnp.uint32)
+    mask = (jnp.uint32(1) << off) - jnp.uint32(1)
+    cnt = lax.population_count(ubits & mask)
+    return ckpt + lax.bitcast_convert_type(cnt, jnp.int32)
+
+
 def rank_all_offset(
     occ: jax.Array, sigma: int, i: jax.Array, word_off: jax.Array, fold: int = 1
 ) -> jax.Array:

@@ -44,7 +44,7 @@ from jax import lax
 
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.locate import lf_walk
-from sahara_tpu.engine.rank import occ_row_word, rank_all_from_row
+from sahara_tpu.engine.rank import rank_sym_word
 
 _BLK = 512
 # plain int (NOT jnp.int32: a module-level jnp call would initialize the
@@ -123,8 +123,6 @@ def seed_parts(
     nq = queries.shape[0]
     p_cnt = len(parts)
     maxlen = max(ln for _, ln in parts)
-    sym_iota = jnp.arange(sigma, dtype=jnp.int32)[None, :]
-
     # j-mer table skip: the first lut_j steps of every lane collapse into
     # one (lo, hi) lookup per (query, part) — digits are the consumed
     # ranks - 1, little-endian in consumption order (index/jmer.py).
@@ -149,21 +147,22 @@ def seed_parts(
         hi = jnp.full((nq, p_cnt), jnp.int32(index.n))
 
     # unrolled lockstep: step t consumes char off+len-1-t of every part still
-    # active (static per step), one fused two-edge rank gather for all parts
+    # active (static per step); ONE fused two-edge single-symbol rank gather
+    # for all parts (rank_sym_word: the step knows each lane's symbol, so
+    # the all-sigma rank + select of the original design is ~2x wasted
+    # elementwise work)
     for t in range(t0, maxlen):
         cols = [off + max(ln - 1 - t, 0) for off, ln in parts]
         act = [ln > t for _, ln in parts]
         c = jnp.stack([queries[:, col] for col in cols], axis=1)  # [nq, P]
+        c_flat = jnp.clip(c.reshape(-1), 0, sigma - 1)
+        c2 = jnp.concatenate([c_flat, c_flat])
         pos = jnp.concatenate([lo.reshape(-1), hi.reshape(-1)])
-        rows = occ_row_word(occ, pos >> 5, index.fold, 2 * sigma)
-        ranks = rank_all_from_row(rows, sigma, pos)
-        ranks = lax.optimization_barrier(ranks)
-        r_lo = ranks[: nq * p_cnt].reshape(nq, p_cnt, sigma)
-        r_hi = ranks[nq * p_cnt :].reshape(nq, p_cnt, sigma)
-        eq = sym_iota[:, None, :] == c[:, :, None]
-        base = jnp.where(eq, c_arr[None, None, :sigma], 0).sum(axis=2)
-        new_lo = base + jnp.where(eq, r_lo, 0).sum(axis=2)
-        new_hi = base + jnp.where(eq, r_hi, 0).sum(axis=2)
+        rank_c = rank_sym_word(occ, pos >> 5, c2, pos, index.fold, sigma)
+        rank_c = lax.optimization_barrier(rank_c)
+        base = jnp.take(c_arr, c_flat).reshape(nq, p_cnt)
+        new_lo = base + rank_c[: nq * p_cnt].reshape(nq, p_cnt)
+        new_hi = base + rank_c[nq * p_cnt :].reshape(nq, p_cnt)
         act_m = jnp.asarray(act, dtype=bool)[None, :]
         lo = jnp.where(act_m, new_lo, lo)
         hi = jnp.where(act_m, new_hi, hi)
