@@ -61,7 +61,13 @@ def _build_and_save(args, alphabet, *, suffix: str, bidirectional: bool, unknown
         timing.print_stats()
         return out_path
     if bidirectional:
-        index = build_bifmindex(seqs, alphabet.sigma, alphabet.name, rate=16, threads=threads)
+        # rbi collections are reverse-closed (mirrors appended above), so
+        # the MirroredBiFMIndex optimization drops the reversed-text table
+        # entirely (rbi-index.cpp:76 analogue): half the occ footprint +
+        # half the suffix-sort work
+        index = build_bifmindex(
+            seqs, alphabet.sigma, alphabet.name, rate=16, threads=threads, mirrored=mirrored
+        )
     else:
         index = build_fmindex(seqs, alphabet.sigma, alphabet.name, rate=16)
     timing.mark("index creation")

@@ -120,12 +120,12 @@ def scheme_search(
     nq = queries.shape[0]
     sigma = index.sigma
     b = nq * ns
-    if index.rev_rows == 0:
+    if not (index.rev_rows > 0 or index.mirrored):
         raise ValueError("scheme search requires a bidirectional index")
 
     occ = index.occ
     c_arr = index.c_arr
-    rev_rows = index.rev_rows
+    rev_rows = index.rev_word_off
 
     q_id = jnp.arange(b, dtype=jnp.int32) // ns
     s_id = jnp.arange(b, dtype=jnp.int32) % ns

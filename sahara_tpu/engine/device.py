@@ -57,10 +57,21 @@ class DeviceIndex:
     # first lut_j steps.  0 = absent.
     lut: jax.Array | None = None
     lut_j: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # MirroredBiFMIndex optimization (index/fmindex.py::BiFMIndex): the
+    # collection is reverse-closed, so the reverse cursor is a forward-
+    # index interval and right extensions rank the forward table — no rev
+    # table stacked, half the occ HBM
+    mirrored: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def bidirectional(self) -> bool:
-        return self.rev_rows > 0
+        return self.rev_rows > 0 or self.mirrored
+
+    @property
+    def rev_word_off(self) -> int:
+        """Word offset of the table that serves reverse-side ranks: the
+        stacked rev table, or the forward table itself when mirrored."""
+        return 0 if self.mirrored else self.rev_rows
 
     @staticmethod
     def from_host(index: FMIndex, device=None, sharding=None) -> "DeviceIndex":
@@ -82,7 +93,8 @@ class DeviceIndex:
         fold = pick_fold(index.sigma)
         w = index.occ.shape[0]
         wp = -(-w // fold) * fold  # padded word count (shared fwd/rev offset)
-        if isinstance(index, BiFMIndex):
+        mirrored = bool(getattr(index, "mirrored", False))
+        if isinstance(index, BiFMIndex) and index.occ_rev is not None and not mirrored:
             occ = put(
                 np.concatenate(
                     [
@@ -131,6 +143,7 @@ class DeviceIndex:
             ),
             lut=lut,
             lut_j=lut_j,
+            mirrored=mirrored,
         )
 
 

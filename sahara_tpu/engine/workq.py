@@ -333,7 +333,7 @@ def workq_search(
             f"workq meta packing limits exceeded (nq<={L.max_nq} for this workload, "
             "ns<=8, m<=511, k<=7, sigma<=8)"
         )
-    if index.rev_rows == 0:
+    if not (index.rev_rows > 0 or index.mirrored):
         raise ValueError("scheme search requires a bidirectional index")
     main_steps, tail_steps = main_tail_steps(m, ph0, k, edit)
     if sum(s for s, _ in plan) != main_steps:
@@ -345,7 +345,7 @@ def workq_search(
     assert tail_cap <= 2**23 and hq_cap <= 2**23
     assert hq_cap % _BLK == 0
 
-    occ, c_arr, rev_rows = index.occ, index.c_arr, index.rev_rows
+    occ, c_arr, rev_rows = index.occ, index.c_arr, index.rev_word_off
     tri = jnp.triu(jnp.ones((_BLK, _BLK), dtype=jnp.float32))
 
     lane_tape = _pack_lane_tape(queries, t_side, t_qpos, t_lo, t_hi, ns)

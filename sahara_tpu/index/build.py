@@ -96,16 +96,29 @@ def build_fmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: 
 
 
 def build_bifmindex(
-    seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: int = 16, threads: int = 1
+    seqs: list[np.ndarray],
+    sigma: int,
+    alphabet_name: str,
+    rate: int = 16,
+    threads: int = 1,
+    mirrored: bool = False,
 ) -> BiFMIndex:
     """``threads`` >= 2 builds the forward and reversed suffix arrays
     concurrently (the two SA-IS calls dominate build wall-clock and the
     native code + NumPy release the GIL) — the reference's ``threadNbr``
-    ctor analogue (rbi-index-dna4.cpp:75 uses 10 threads)."""
+    ctor analogue (rbi-index-dna4.cpp:75 uses 10 threads).
+
+    ``mirrored=True`` asserts the caller's collection is closed under
+    reversal (rbi builds: mirrors appended) and SKIPS the reversed-text
+    table entirely — the MirroredBiFMIndex optimization (fmindex.py),
+    which also halves build work."""
     seqs = _ranks_of(seqs)
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
     text, starts = build_text(seqs, rate)
-    if threads >= 2 and len(text) >= 1 << 22:
+    if mirrored:
+        occ, c_arr, sampled, sseq, spos = _build_core(text, sigma, rate, starts, seq_lens)
+        occ_rev = None
+    elif threads >= 2 and len(text) >= 1 << 22:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(2) as ex:
@@ -130,4 +143,5 @@ def build_bifmindex(
         seq_lens=seq_lens,
         text4=_pack_text_opt(text, sigma),
         occ_rev=occ_rev,
+        mirrored=mirrored,
     )

@@ -60,9 +60,19 @@ class FMIndex:
 
 @dataclasses.dataclass
 class BiFMIndex(FMIndex):
-    """Bidirectional FM-index: adds the reversed-text occ table."""
+    """Bidirectional FM-index: adds the reversed-text occ table.
 
-    occ_rev: np.ndarray = None  # int32[W, 2*sigma]
+    ``mirrored=True`` realizes the reference's MirroredBiFMIndex memory
+    optimization (rbi-index.cpp:76): when the sequence collection is
+    closed under reversal (each sequence's reverse is also present — the
+    rbi build appends mirrors), the reverse cursor of any pattern P is
+    itself a FORWARD-index interval (of reverse(P), equal size by mirror
+    closure), so right extensions rank the forward table too and
+    ``occ_rev`` is never needed — HALF the occ footprint on host, disk,
+    and HBM."""
+
+    occ_rev: np.ndarray | None = None  # int32[W, 2*sigma]; None iff mirrored
+    mirrored: bool = False
 
 
 def save_index(path: str, index: FMIndex) -> None:
@@ -73,6 +83,7 @@ def save_index(path: str, index: FMIndex) -> None:
         "alphabet": index.alphabet_name,
         "rate": index.rate,
         "n": index.n,
+        "mirrored": bool(getattr(index, "mirrored", False)),
     }
     arrays = {
         "occ": index.occ,
@@ -83,7 +94,7 @@ def save_index(path: str, index: FMIndex) -> None:
         "seq_lens": index.seq_lens,
         "meta": np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8),
     }
-    if isinstance(index, BiFMIndex):
+    if isinstance(index, BiFMIndex) and index.occ_rev is not None:
         arrays["occ_rev"] = index.occ_rev
     if index.text4 is not None:
         arrays["text4"] = index.text4
@@ -113,7 +124,11 @@ def load_index(path: str) -> FMIndex:
             seq_lens=data["seq_lens"],
         )
         if meta["kind"] == "bi":
-            return BiFMIndex(**common, occ_rev=data["occ_rev"])
+            return BiFMIndex(
+                **common,
+                occ_rev=data["occ_rev"] if "occ_rev" in data.files else None,
+                mirrored=bool(meta.get("mirrored", False)),
+            )
         return FMIndex(**common)
 
 

@@ -82,3 +82,63 @@ def test_rbi_mirror_seqid_contract(rbi_corpus, tmp_path):
     m = len(seqs)
     mirror_pos = len(seqs[sid].seq) - pos - span
     assert (0, sid + m, mirror_pos) in hits, sorted(hits)[:10]
+
+def test_mirrored_index_matches_double_table():
+    """MirroredBiFMIndex optimization: an rbi-style reverse-closed
+    collection indexed WITHOUT the reversed-text table produces identical
+    hit sets to the double-table build, at half the occ footprint."""
+    import numpy as np
+
+    from sahara_tpu.engine.device import DeviceIndex
+    from sahara_tpu.engine.driver import search_queries
+    from sahara_tpu.index.build import build_bifmindex
+
+    rng = np.random.default_rng(13)
+    seqs = [rng.integers(1, 4, size=300).astype(np.uint8) for _ in range(2)]
+    closed = seqs + [s[::-1].copy() for s in seqs]  # reverse closure
+    full = build_bifmindex(closed, 4, "dr_dna5", rate=16)
+    mir = build_bifmindex(closed, 4, "dr_dna5", rate=16, mirrored=True)
+    assert mir.occ_rev is None and full.occ_rev is not None
+
+    dev_full = DeviceIndex.from_host(full)
+    dev_mir = DeviceIndex.from_host(mir)
+    assert dev_mir.mirrored and dev_mir.rev_rows == 0 and dev_mir.bidirectional
+    assert dev_mir.occ.shape[0] * 2 == dev_full.occ.shape[0]
+
+    m, k = 30, 1
+    queries = []
+    for i in range(10):
+        q = np.asarray(closed[i % 4][7 * i : 7 * i + m], dtype=np.uint8).copy()
+        if i % 2:
+            q[4] = 1 + (q[4] - 1 + 1) % 3
+        queries.append(q)
+    # force the scheme engine too (the SV engine never touches the rev
+    # table, so workq is the path the optimization must prove itself on)
+    for engine in ("auto", "workq", "approx"):
+        a = search_queries(dev_full, queries, k=k, edit=True, engine=engine)
+        b = search_queries(dev_mir, queries, k=k, edit=True, engine=engine)
+        assert a.rows() == b.rows(), engine
+        assert len(a.query_id) >= 10
+
+
+def test_mirrored_index_roundtrip(tmp_path):
+    """Mirrored indexes save/load without the rev table and search equal."""
+    import numpy as np
+
+    from sahara_tpu.engine.device import DeviceIndex
+    from sahara_tpu.engine.driver import search_queries
+    from sahara_tpu.index.build import build_bifmindex
+    from sahara_tpu.index.fmindex import load_index, save_index
+
+    rng = np.random.default_rng(14)
+    seqs = [rng.integers(1, 4, size=200).astype(np.uint8)]
+    closed = seqs + [s[::-1].copy() for s in seqs]
+    mir = build_bifmindex(closed, 4, "dr_dna5", rate=16, mirrored=True)
+    p = tmp_path / "m.idx"
+    save_index(str(p), mir)
+    back = load_index(str(p))
+    assert back.mirrored and back.occ_rev is None
+    q = [np.asarray(closed[0][50:80], dtype=np.uint8)]
+    a = search_queries(DeviceIndex.from_host(mir), q, k=1, edit=True)
+    b = search_queries(DeviceIndex.from_host(back), q, k=1, edit=True)
+    assert a.rows() == b.rows() and len(a.query_id) >= 1
