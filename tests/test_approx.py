@@ -153,3 +153,93 @@ def test_mixed_length_queries_bucketed(small_index):
         for sid, pos in brute_approx_hits(seqs, q, 1, hamming=True):
             want.add((qi, sid, pos))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# extended oracle surface (round 3): longer reads, higher k, dna4 corpora
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("engine", ["auto", "workq"])
+def test_long_reads_k3_matches_oracle(small_index, engine):
+    """150bp reads at k=3 (the configs[3] shape) against both the SV and
+    scheme engines; S/I/D-planted and random-miss queries."""
+    seqs, dev = small_index
+    rng = np.random.default_rng(31)
+    m, k = 150, 3
+    queries = []
+    for i in range(6):
+        s = seqs[0] if len(seqs[0]) >= m + k + 1 else seqs[1]
+        p = int(rng.integers(0, len(s) - m - k))
+        q = np.array(s[p : p + m], dtype=np.uint8)
+        for _ in range(int(rng.integers(0, k + 1))):
+            kind = int(rng.integers(0, 3))
+            at = int(rng.integers(0, len(q)))
+            if kind == 0:
+                q[at] = 1 + (q[at] - 1 + 1) % 4
+            elif kind == 1 and len(q) > 1:
+                q = np.delete(q, at)
+            else:
+                q = np.insert(q, at, rng.integers(1, 5))
+        q = q[:m]
+        if len(q) < m:
+            q = np.concatenate([q, rng.integers(1, 5, m - len(q)).astype(np.uint8)])
+        queries.append(q.astype(np.uint8))
+    queries.append(rng.integers(1, 5, m).astype(np.uint8))  # miss
+
+    res = search_queries(dev, queries, k=k, generator_name="optimum", edit=True, engine=engine)
+    got = _hit_set(res)
+    want = set()
+    for qi, q in enumerate(queries):
+        for sid, pos in brute_edit_hits_minimal(seqs, q, k):
+            want.add((qi, sid, pos))
+    assert got == want
+
+
+@pytest.mark.parametrize("edit", [True, False])
+def test_dna4_corpus_matches_oracle(edit):
+    """d_dna4 (sigma=5) corpus end-to-end: ranks 1..4, no N rank at all."""
+    rng = np.random.default_rng(32)
+    seqs = [rng.integers(1, 5, size=ln).astype(np.uint8) for ln in (250, 120)]
+    host = build_bifmindex(seqs, 5, "d_dna4", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 40, 2
+    queries = _make_queries(rng, seqs, m, 8)
+    queries = [_mutate(rng, q, int(rng.integers(0, k + 1))) for q in queries]
+    res = search_queries(dev, queries, k=k, generator_name="optimum", edit=edit)
+    got = _hit_set(res)
+    want = set()
+    for qi, q in enumerate(queries):
+        oracle = (
+            brute_edit_hits_minimal(seqs, q, k)
+            if edit
+            else brute_approx_hits(seqs, q, k, hamming=True)
+        )
+        for sid, pos in oracle:
+            want.add((qi, sid, pos))
+    assert got == want
+
+
+def test_k4_workq_matches_oracle(small_index):
+    """k=4 (beyond every generator table in common use) via the solver
+    generators, workq engine, Hamming + edit."""
+    seqs, dev = small_index
+    rng = np.random.default_rng(33)
+    m, k = 60, 4
+    queries = _make_queries(rng, seqs, m, 4)
+    queries = [_mutate(rng, q, int(rng.integers(0, 4))) for q in queries]
+    for edit in (False, True):
+        res = search_queries(
+            dev, queries, k=k, generator_name="pigeon_opt", edit=edit, engine="workq"
+        )
+        got = _hit_set(res)
+        want = set()
+        for qi, q in enumerate(queries):
+            oracle = (
+                brute_edit_hits_minimal(seqs, q, k)
+                if edit
+                else brute_approx_hits(seqs, q, k, hamming=True)
+            )
+            for sid, pos in oracle:
+                want.add((qi, sid, pos))
+        assert got == want, f"edit={edit}"
