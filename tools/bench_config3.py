@@ -30,7 +30,7 @@ READ_LEN = 150
 ERRORS = 3
 N_SEQS = 4  # equal-size sequences -> equal-shape shards -> one compile set
 SHARD_MB = float(os.environ.get("SAHARA_C3_SHARD_MB", REF_GB * 1000 / 2 + 1))
-CHUNK = int(os.environ.get("SAHARA_C3_CHUNK", 8192))
+CHUNK = int(os.environ.get("SAHARA_C3_CHUNK", 16384))
 CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "sahara_tpu")
 
 
