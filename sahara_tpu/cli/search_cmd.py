@@ -19,25 +19,36 @@ from sahara_tpu.index.fmindex import load_index, peek_sigma
 from sahara_tpu.utils.errors import SaharaError
 
 
-def _local_mesh(n_req: int):
-    """A data mesh over the local devices, or None for single-device runs.
+def _local_mesh(n_req: int, multihost: bool = False):
+    """A data mesh over THIS PROCESS's devices, or None for single-device.
 
     ``n_req`` = 0 auto-selects: all local chips when the default platform
     is an accelerator (so a plain `sahara search` on a v5e-8 host uses all
     8 chips), 1 on CPU (virtual host devices give no speedup — pass
-    --devices N explicitly to exercise the mesh path on CPU)."""
+    --devices N explicitly to exercise the mesh path on CPU).
+
+    The mesh is always built from ``jax.local_devices()`` — under
+    ``jax.distributed`` (``--mh_*``), ``jax.devices()`` is the GLOBAL list
+    and would hand non-zero ranks another host's chips.  In multihost runs
+    the local mesh is opt-in (``--devices N``): each host then runs its
+    query slice data-parallel over its own chips as an independent
+    addressable-only computation."""
     import jax
 
     devs = jax.local_devices()
     if n_req == 0:
+        if multihost:
+            return None  # opt-in only (see docstring)
         n_use = len(devs) if devs and devs[0].platform != "cpu" else 1
     else:
         n_use = n_req
     if n_use <= 1:
         return None
+    if len(devs) < n_use:
+        raise SaharaError(f"--devices {n_use} requested but only {len(devs)} local devices")
     from sahara_tpu.parallel.mesh import data_mesh
 
-    return data_mesh(n_use)
+    return data_mesh(devices=devs[:n_use])
 
 
 def cmd_search(args):
@@ -108,7 +119,7 @@ def cmd_search(args):
 
         result = search_queries_sharded(host, queries, **kw)
     else:
-        mesh = _local_mesh(getattr(args, "devices", 0))
+        mesh = _local_mesh(getattr(args, "devices", 0), multihost=bool(multihost))
         if mesh is not None:
             from sahara_tpu.parallel.mesh import replicate_index
 

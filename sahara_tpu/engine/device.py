@@ -74,7 +74,11 @@ class DeviceIndex:
         return 0 if self.mirrored else self.rev_rows
 
     @staticmethod
-    def from_host(index: FMIndex, device=None, sharding=None) -> "DeviceIndex":
+    def from_host(
+        index: FMIndex, device=None, sharding=None, build_lut: bool = True
+    ) -> "DeviceIndex":
+        """``build_lut=False`` skips the j-mer seed table (~1s host build +
+        8MB HBM) for workloads that will never run the SV engine."""
         if index.n >= 2**31:
             raise ValueError(
                 "single-device index limited to text < 2^31 positions; build an "
@@ -116,7 +120,7 @@ class DeviceIndex:
         sigma_live = int(present[-1]) + 2 if len(present) else 2
         lut = None
         lut_j = 0
-        if index.text4 is not None and index.sigma <= 6:
+        if build_lut and index.text4 is not None and index.sigma <= 6:
             # seed-scan skip table for the SV engine (index/jmer.py)
             from sahara_tpu.index.jmer import build_jmer_lut, pick_lut_j
 

@@ -308,26 +308,6 @@ def _sv_hits_to_result(index: DeviceIndex, hits, qids: np.ndarray) -> SearchResu
     )
 
 
-def _run_workq_mesh(
-    index: DeviceIndex,
-    qarr: np.ndarray,
-    tape: SchemeTape,
-    qids: np.ndarray,
-    *,
-    mesh,
-    edit: bool,
-    active: np.ndarray | None,
-    max_hits: int,
-    chunk: int = 8192,
-) -> SearchResult:
-    """Data-parallel workq driver: _run_workq_grouped over the mesh (full
-    single-chip quality: capmem plans, pre-uploaded tapes, pipelining)."""
-    return _run_workq_grouped(
-        index, qarr, tape, qids, edit=edit, active=active,
-        max_hits=max_hits, chunk=chunk, mesh=mesh,
-    )
-
-
 def _run_sv_mesh(
     index: DeviceIndex,
     qarr: np.ndarray,
@@ -372,7 +352,6 @@ def _run_sv_grouped(
     Returns (hits, fallback bool[nq]): queries excluded by the per-part
     occurrence budget (seedverify.PART_CAP) produce NO hits here and are
     flagged for an exact re-search through the scheme engine."""
-    starts_host = np.asarray(index.seq_starts).astype(np.int64)
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
     fallback_all = np.zeros(nq, dtype=bool)
@@ -412,16 +391,7 @@ def _run_sv_grouped(
             fallback_all[start : start + n_real] = hits.fallback[:n_real]
         if len(hits.q_idx) == 0:
             continue
-        seq = np.searchsorted(starts_host, hits.abs_pos, side="right") - 1
-        pos = hits.abs_pos - starts_host[seq]
-        results.append(
-            SearchResult(
-                query_id=st["ids"][hits.q_idx].astype(np.int64),
-                seq_id=seq.astype(np.int64),
-                pos=pos.astype(np.int64),
-                errors=hits.err.astype(np.int64),
-            )
-        )
+        results.append(_sv_hits_to_result(index, hits, st["ids"]))
     merged = _merge_results(results)
     return _cap_hits_per_query(merged, max_hits), fallback_all
 
@@ -604,16 +574,11 @@ def search_queries(
                 )
                 if not edit:
                     ess = limit_to_hamming(ess)
-                if use_mesh:
-                    res_fb = _run_workq_mesh(
-                        index, qarr, compile_tape(ess), qids, mesh=mesh,
-                        edit=edit, active=fallback, max_hits=0, chunk=chunk,
-                    )
-                else:
-                    res_fb = _run_workq_grouped(
-                        index, qarr, compile_tape(ess), qids, edit=edit,
-                        active=fallback, max_hits=0, chunk=chunk,
-                    )
+                res_fb = _run_workq_grouped(
+                    index, qarr, compile_tape(ess), qids, edit=edit,
+                    active=fallback, max_hits=0, chunk=chunk,
+                    mesh=mesh if use_mesh else None,
+                )
                 res = _merge_results([res, res_fb])
             if mode == "besthits":
                 res = _besthits_filter(res)
@@ -635,20 +600,13 @@ def search_queries(
                 ess = limit_to_hamming(ess)
             tape = compile_tape(ess)
             if bucket_engine == "workq":
-                if use_mesh:
-                    results.append(
-                        _run_workq_mesh(
-                            index, qarr, tape, qids, mesh=mesh, edit=edit,
-                            active=None, max_hits=max_hits, chunk=chunk,
-                        )
+                results.append(
+                    _run_workq_grouped(
+                        index, qarr, tape, qids, edit=edit, active=None,
+                        max_hits=max_hits, chunk=chunk,
+                        mesh=mesh if use_mesh else None,
                     )
-                else:
-                    results.append(
-                        _run_workq_grouped(
-                            index, qarr, tape, qids, edit=edit, active=None,
-                            max_hits=max_hits, chunk=chunk,
-                        )
-                    )
+                )
             else:
                 hits = run_scheme_search_chunked(
                     index, qarr, tape, edit=edit, s_cap=s_cap, h_cap=h_cap, chunk=chunk
@@ -674,16 +632,11 @@ def search_queries(
                     ess = limit_to_hamming(ess)
                 tape = compile_tape(ess)
                 if bucket_engine == "workq":
-                    if use_mesh:
-                        res = _run_workq_mesh(
-                            index, qarr, tape, qids, mesh=mesh, edit=edit,
-                            active=active, max_hits=max_hits, chunk=chunk,
-                        )
-                    else:
-                        res = _run_workq_grouped(
-                            index, qarr, tape, qids, edit=edit, active=active,
-                            max_hits=max_hits, chunk=chunk,
-                        )
+                    res = _run_workq_grouped(
+                        index, qarr, tape, qids, edit=edit, active=active,
+                        max_hits=max_hits, chunk=chunk,
+                        mesh=mesh if use_mesh else None,
+                    )
                 else:
                     hits = run_scheme_search_chunked(
                         index, qarr, tape, edit=edit, active=active, s_cap=s_cap, h_cap=h_cap, chunk=chunk

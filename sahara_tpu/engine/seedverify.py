@@ -120,6 +120,7 @@ def seed_parts(
     """Exact backward search of every (query, part) lane against the
     forward occ table.  Returns ONE packed int32[2 * nq * P]: lo | sz."""
     occ, c_arr, sigma = index.occ, index.c_arr, index.sigma
+    queries = queries.astype(jnp.int32)  # uint8 ranks would wrap in the code shifts
     nq = queries.shape[0]
     p_cnt = len(parts)
     maxlen = max(ln for _, ln in parts)

@@ -994,8 +994,10 @@ def _mesh_workq_fn(mesh, index, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
 
     from sahara_tpu.parallel.mesh import DATA_AXIS
 
-    key = (mesh, edit, plan, tail_cap, hq_cap, m, ns, k, ph0, dedup_every,
-           cap_per_query, packed)
+    # the index treedef is part of the key: DeviceIndexes with different
+    # optional fields (text4/lut present or not) need different in_specs
+    key = (mesh, jax.tree.structure(index), edit, plan, tail_cap, hq_cap, m,
+           ns, k, ph0, dedup_every, cap_per_query, packed)
     fn = _MESH_FNS.get(key)
     if fn is not None:
         return fn

@@ -115,7 +115,7 @@ def _local(index):
 
 def _interval_search_fn(mesh, stacked, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
                         dedup_every):
-    key = (mesh, "search", edit, plan, tail_cap, hq_cap, m, ns, k, ph0, dedup_every)
+    key = (mesh, "search", jax.tree.structure(stacked), edit, plan, tail_cap, hq_cap, m, ns, k, ph0, dedup_every)
     fn = _IV_FNS.get(key)
     if fn is not None:
         return fn
@@ -143,7 +143,7 @@ def _interval_search_fn(mesh, stacked, *, edit, plan, tail_cap, hq_cap, m, ns, k
 
 
 def _interval_locate_fn(mesh, stacked, cap: int):
-    key = (mesh, "locate", cap)
+    key = (mesh, "locate", jax.tree.structure(stacked), cap)
     fn = _IV_FNS.get(key)
     if fn is not None:
         return fn

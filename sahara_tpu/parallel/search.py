@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from sahara_tpu.engine.approx import SearchHits, scheme_search
 from sahara_tpu.engine.device import DeviceIndex
 from sahara_tpu.engine.tape import SchemeTape
-from sahara_tpu.engine.workq import FlatHits, main_tail_steps, phase0_length, workq_search
+from sahara_tpu.engine.workq import FlatHits
 from sahara_tpu.parallel.mesh import DATA_AXIS, shard_queries
 
 

@@ -216,6 +216,10 @@ def distributed_sv_search(
     ``fallback`` bool[nq] flagging repeat-saturated queries the caller must
     re-search with a scheme engine, global verified-hit count)."""
     n_dev = mesh.devices.size
+    # int32 is load-bearing: the j-mer seed code computation shifts
+    # (rank - 1) << (2*i), which silently wraps in uint8 (the repo's
+    # native rank dtype) and produces wrong-but-in-range table codes
+    queries = np.asarray(queries, dtype=np.int32)
     nq, m = queries.shape
     parts = plan_parts(m, k)
     if parts is None:

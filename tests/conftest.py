@@ -16,3 +16,14 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon sitecustomize imports jax AT INTERPRETER BOOT (before this
+# file runs), so jax's config has already snapshotted JAX_PLATFORMS=axon
+# from the ambient env — the os.environ writes above are too late for
+# the platform choice (discovered round 3: the whole suite was silently
+# running on the tunneled TPU, 1 device, contending with bench runs).
+# Backends are not initialized yet at conftest time, so forcing the
+# config value directly still works.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -137,6 +137,23 @@ def test_search_queries_mesh_workq_parity(sv_setup):
     assert len(res_seq.query_id) > 0
 
 
+def test_distributed_sv_uint8_queries(sv_setup):
+    """Regression: uint8 rank arrays (the repo's native query dtype) must
+    not wrap in the j-mer seed-code shifts on the mesh path."""
+    from sahara_tpu.engine.seedverify import run_sv_search
+    from sahara_tpu.parallel.sv import distributed_sv_search
+
+    host, mesh, seqs, _ = sv_setup
+    dev = replicate_index(host, mesh)
+    m, k = 36, 1
+    qs_u8 = np.stack([seqs[0][11 * i : 11 * i + m] for i in range(8)]).astype(np.uint8)
+    hits, _ = distributed_sv_search(mesh, dev, qs_u8, k, edit=True, chunk=4)
+    ref = run_sv_search(DeviceIndex.from_host(host), qs_u8.astype(np.int32), k, edit=True)
+    got = set(zip(hits.q_idx.tolist(), hits.abs_pos.tolist()))
+    want = set(zip(ref.q_idx.tolist(), ref.abs_pos.tolist()))
+    assert got == want and len(want) >= 8
+
+
 def test_host_query_slice_partitions():
     # single-process: whole range
     start, end = host_query_slice(100)
