@@ -177,7 +177,7 @@ def main() -> None:
     # through the tunnel (NOTES_r3 variance caveat); the best pass is the
     # stable comparator (bench_rank.py uses the same protocol)
     dt = float("inf")
-    for _ in range(1 if PROFILE else 3):
+    for _ in range(1 if PROFILE else 4):
         t0 = time.monotonic()
         r = search_queries(index, queries, **kw)
         dt = min(dt, time.monotonic() - t0)
