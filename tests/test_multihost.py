@@ -73,3 +73,43 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     assert multi_out.exists(), "rank 0 did not merge the per-host outputs"
     assert multi_out.read_text() == single_out.read_text()
+
+
+def test_two_process_with_local_mesh_matches_single(tmp_path):
+    """Multihost + per-host local data mesh (--devices, opt-in under
+    --mh_*): each process searches its query slice data-parallel over its
+    own 2 virtual devices; merged output is byte-identical."""
+    rng = np.random.default_rng(12)
+    seqs = [FastaRecord(id="chr0", seq=bytes(b"ACGT"[j] for j in rng.integers(0, 4, size=700)))]
+    ref = tmp_path / "ref.fasta"
+    write_fasta(ref, seqs)
+    reads = tmp_path / "reads.fasta"
+    assert main(["read_simulator", "-i", str(ref), "-o", str(reads),
+                 "-n", "10", "-l", "36", "-e", "1", "--seed", "6"]) == 0
+    assert main(["index", str(ref)]) == 0
+
+    single_out = tmp_path / "single.txt"
+    assert main(["search", "-q", str(reads), "-i", str(ref) + ".idx",
+                 "-o", str(single_out), "-e", "1", "-g", "optimum"]) == 0
+
+    port = _free_port()
+    multi_out = tmp_path / "multi.txt"
+    procs = []
+    for rank in range(2):
+        env = _worker_env()
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        cmd = [
+            sys.executable, "-m", "sahara_tpu", "search",
+            "-q", str(reads), "-i", str(ref) + ".idx", "-o", str(multi_out),
+            "-e", "1", "-g", "optimum", "--devices", "2",
+            "--mh_coordinator", f"127.0.0.1:{port}",
+            "--mh_num_processes", "2", "--mh_process_id", str(rank),
+        ]
+        procs.append(subprocess.Popen(cmd, env=env,
+                                      stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        assert p.returncode == 0, out.decode(errors="replace")[-2000:]
+
+    assert multi_out.exists(), "rank 0 did not merge the per-host outputs"
+    assert multi_out.read_text() == single_out.read_text()
