@@ -88,6 +88,21 @@ def run_cases() -> list:
         h = run_sv_search(dev, q2arr, k, edit=edit)
         rows = sorted(zip(h.q_idx.tolist(), h.abs_pos.tolist(), h.err.tolist()))
         out.append({"case": ["sv", k, edit, True], "n": len(rows), "rows": rows})
+
+    # mirrored single-table index (rbi family): right extensions rank the
+    # FORWARD table — a distinct gather/offset pattern worth a backend check
+    from sahara_tpu.engine.driver import search_queries
+
+    rng = np.random.default_rng(55)
+    dseqs = [rng.integers(1, 4, size=260).astype(np.uint8) for _ in range(2)]
+    closed = dseqs + [s[::-1].copy() for s in dseqs]
+    mhost = build_bifmindex(closed, 4, "dr_dna5", rate=16, mirrored=True)
+    mdev = DeviceIndex.from_host(mhost)
+    mq = [np.asarray(closed[i % 4][6 * i : 6 * i + 30], dtype=np.uint8) for i in range(6)]
+    for engine in ("auto", "workq"):
+        r = search_queries(mdev, mq, k=1, edit=True, engine=engine)
+        rows = sorted(r.rows())
+        out.append({"case": ["mirrored", engine, 1, True], "n": len(rows), "rows": rows})
     return out
 
 
