@@ -427,19 +427,47 @@ def search_queries_sharded(
     """Search against an interval-sharded index (index/shard.py): shards
     are searched sequentially through HBM, per-shard hits map back through
     the (global seqId, window offset) tables, window-duplicate hits are
-    merged, output is the canonical global order."""
+    merged, output is the canonical global order.
+
+    The next shard's upload (host->HBM transfer + j-mer table build —
+    tens of seconds at multi-GB scale) is PREFETCHED on a worker thread
+    while the current shard searches, whenever two shards fit in HBM
+    together."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from sahara_tpu.engine.device import DeviceIndex
 
+    def _est_bytes(host) -> int:
+        b = host.occ.nbytes * 2 + host.sampled.nbytes
+        if host.text4 is not None:
+            b += host.text4.nbytes
+        return b
+
+    max_pair = max(
+        (_est_bytes(a) + _est_bytes(b) for a, b in zip(sharded.shards, sharded.shards[1:])),
+        default=0,
+    )
+    # JAX preallocates ~75% of HBM (12GB on v5e); two resident shards plus
+    # the engine's workspace must fit that pool — 9.2GB pairs OOM'd at 2.5GB
+    # total reference, so the budget is conservative
+    prefetch = sharded.num_shards > 1 and max_pair < 8_000_000_000
+
     parts: list[SearchResult] = []
-    for i, host in enumerate(sharded.shards):
-        if verbose_cb:
-            verbose_cb(f"shard {i + 1}/{sharded.num_shards}: n={host.n}")
-        dev = DeviceIndex.from_host(host)
-        res = search_queries(dev, queries, query_ids=query_ids, verbose_cb=verbose_cb, **kw)
-        del dev  # free this shard's HBM before the next one loads
-        gid = sharded.seq_gid[i][res.seq_id]
-        pos = res.pos + sharded.seq_off[i][res.seq_id]
-        parts.append(SearchResult(res.query_id, gid.astype(np.int64), pos.astype(np.int64), res.errors))
+    with ThreadPoolExecutor(1) as ex:
+        fut = ex.submit(DeviceIndex.from_host, sharded.shards[0])
+        for i, host in enumerate(sharded.shards):
+            if verbose_cb:
+                verbose_cb(f"shard {i + 1}/{sharded.num_shards}: n={host.n}")
+            dev = fut.result()
+            if prefetch and i + 1 < sharded.num_shards:
+                fut = ex.submit(DeviceIndex.from_host, sharded.shards[i + 1])
+            res = search_queries(dev, queries, query_ids=query_ids, verbose_cb=verbose_cb, **kw)
+            del dev  # free this shard's HBM
+            if not prefetch and i + 1 < sharded.num_shards:
+                fut = ex.submit(DeviceIndex.from_host, sharded.shards[i + 1])
+            gid = sharded.seq_gid[i][res.seq_id]
+            pos = res.pos + sharded.seq_off[i][res.seq_id]
+            parts.append(SearchResult(res.query_id, gid.astype(np.int64), pos.astype(np.int64), res.errors))
     merged = _merge_results(parts)
     if len(sharded.windowed_gids) and len(merged.query_id):
         # hits inside a window overlap appear once per window: keep one

@@ -128,7 +128,11 @@ def main() -> None:
     t_gen_reads = time.monotonic() - t0
 
     kw = dict(k=ERRORS, generator_name="optimum", edit=True, chunk=CHUNK)
-    n_warm = min(len(queries), 8192)
+    # warm with MORE than one chunk so the compiled shapes match the full
+    # pass ([CHUNK, m] padded chunks only exist when nq > CHUNK — an
+    # undersized warm batch compiles the wrong shapes and the timed pass
+    # then pays the real compiles)
+    n_warm = min(len(queries), 2 * CHUNK + 1)
     t0 = time.monotonic()
     search_queries_sharded(sharded, queries[:n_warm], **kw)  # compile + tune
     t_warm = time.monotonic() - t0
