@@ -105,8 +105,89 @@ def save_index(path: str, index: FMIndex) -> None:
             np.savez(fh, **arrays)
 
 
+class FastNpz:
+    """npz reader tuned for multi-GB members.
+
+    Both NumPy's NpzFile and plain ``zipfile.ZipExtFile`` stream members
+    through a 64KB-chunk Python loop (measured: a 10.6GB sharded container
+    took 420-480s to load THROUGH PAGE CACHE).  ``np.savez`` stores members
+    uncompressed (ZIP_STORED), so each member's bytes can be sliced straight
+    out of the archive: parse the central directory with zipfile, read each
+    member's local header for its data offset, then take the payload with
+    ONE read (file sources) or a zero-copy memoryview slice (in-memory
+    sources).  Compressed members fall back to zipfile.read."""
+
+    def __init__(self, source):
+        import io as _io
+        import zipfile
+
+        self._io = _io
+        self._zipfile = zipfile
+        self._own = not hasattr(source, "read")
+        fh = open(source, "rb") if self._own else source
+        self._fh = fh
+        self._buf = fh.getbuffer() if isinstance(fh, _io.BytesIO) else None
+        self.zf = zipfile.ZipFile(fh)
+        self.files = [n[:-4] for n in self.zf.namelist() if n.endswith(".npy")]
+
+    def _member_bytes(self, name: str):
+        import struct
+
+        info = self.zf.getinfo(name)
+        if info.compress_type != self._zipfile.ZIP_STORED:
+            return self.zf.read(name)  # rare: not produced by np.savez
+        # local file header: 30 fixed bytes, then name + extra (lengths in
+        # the LOCAL header can differ from the central directory's)
+        if self._buf is not None:
+            h = self._buf[info.header_offset : info.header_offset + 30]
+            nlen, elen = struct.unpack("<HH", bytes(h[26:30]))
+            off = info.header_offset + 30 + nlen + elen
+            return self._buf[off : off + info.file_size]  # zero-copy view
+        self._fh.seek(info.header_offset + 26)
+        nlen, elen = struct.unpack("<HH", self._fh.read(4))
+        self._fh.seek(info.header_offset + 30 + nlen + elen)
+        return self._fh.read(info.file_size)
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        """Parse the .npy header and view the payload with ONE frombuffer:
+        numpy's read_array copies file-likes through a 256K-element Python
+        chunk loop (168s for this 10.6GB container).  Returned arrays are
+        read-only views of the member buffer (zero-copy for in-memory
+        sources) — index arrays are never mutated after load."""
+        import numpy.lib.format as npf
+
+        raw = self._member_bytes(key + ".npy")
+        head = self._io.BytesIO(bytes(raw[:4096]))
+        version = npf.read_magic(head)
+        if version == (1, 0):
+            shape, fortran, dtype = npf.read_array_header_1_0(head)
+        elif version == (2, 0):
+            shape, fortran, dtype = npf.read_array_header_2_0(head)
+        else:  # unknown version: let numpy handle it
+            return np.load(self._io.BytesIO(bytes(raw)), allow_pickle=False)
+        off = head.tell()
+        if dtype.hasobject or off >= 4096:
+            return np.load(self._io.BytesIO(bytes(raw)), allow_pickle=False)
+        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        arr = np.frombuffer(raw, dtype=dtype, count=count, offset=off)
+        if fortran:
+            return arr.reshape(shape[::-1]).T
+        return arr.reshape(shape)
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.files
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.zf.close()
+        if self._own:
+            self._fh.close()
+
+
 def load_index(path: str) -> FMIndex:
-    with np.load(path) as data:
+    with FastNpz(path) as data:
         meta = json.loads(bytes(data["meta"]).decode())
         if meta["format_version"] not in _READABLE_VERSIONS:
             raise ValueError(f"unknown file format version for index: {meta['format_version']}")

@@ -156,10 +156,14 @@ def save_sharded(path: str, sh: ShardedIndex) -> None:
 
 
 def load_any_index(path: str):
-    """Load either a plain (v1) or sharded (v2) index file."""
+    """Load either a plain (v1) or sharded (v2) index file (via FastNpz —
+    NumPy's own npz member streaming is pathologically slow on multi-GB
+    members, see fmindex.FastNpz)."""
     import io
 
-    with np.load(path) as data:
+    from sahara_tpu.index.fmindex import FastNpz
+
+    with FastNpz(path) as data:
         meta = json.loads(bytes(data["meta"]).decode())
         # dispatch on `kind`: plain indexes ("bi"/"uni") carry their own
         # format_version namespace (fmindex.py), sharded containers theirs
