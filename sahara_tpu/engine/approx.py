@@ -275,11 +275,13 @@ def run_scheme_search(
     active: np.ndarray | None = None,
     s_cap: int = 64,
     h_cap: int = 32,
-    max_retries: int = 4,
+    max_retries: int = 8,
 ) -> SearchHits:
     """Host wrapper: run the jitted stepper, retrying with doubled caps for
     as long as any lane overflowed (the static-shape analogue of the
-    reference's unbounded DFS)."""
+    reference's unbounded DFS).  Eight doublings take s_cap to 8192 —
+    enough for k=4 schemes on repetitive corpora; the workq engine (the
+    default) has no per-lane cap at all."""
     nq, m = queries.shape
     ns = tape.num_searches
     k = tape.max_errors
@@ -356,7 +358,7 @@ def run_scheme_search_chunked(
     s_cap: int = 64,
     h_cap: int = 32,
     chunk: int = 1024,
-    max_retries: int = 4,
+    max_retries: int = 8,
 ) -> SearchHits:
     """Process queries in fixed-size chunks (the last chunk is padded with
     inactive lanes) so one compiled program shape serves the whole batch and

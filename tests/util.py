@@ -41,12 +41,15 @@ def edit_distance_prefix(query: np.ndarray, text: np.ndarray) -> np.ndarray:
 
 
 def brute_edit_hits_minimal(
-    seqs: list[np.ndarray], query: np.ndarray, k: int
-) -> set[tuple[int, int]]:
+    seqs: list[np.ndarray], query: np.ndarray, k: int, return_err: bool = False
+):
     """All (seqId, pos) where some substring starting at pos is within edit
     distance k of the query under the *minimal-span* rule: the aligned text
     span must not begin or end with a deleted character (query insertions at
-    the ends are allowed).  This is the engine's documented hit contract."""
+    the ends are allowed).  This is the engine's documented hit contract.
+
+    ``return_err=True`` returns {(seqId, pos): minimal distance} instead."""
+    errs: dict = {}
     out = set()
     m = len(query)
     inf = 10**9
@@ -73,16 +76,21 @@ def brute_edit_hits_minimal(
                 for j in range(1, nw + 1):
                     sub = 0 if query[i - 1] == w[j - 1] else 1
                     b[i][j] = min(a[i - 1][j - 1] + sub, b[i - 1][j] + 1)
-            if min(b[m][1:]) <= k:
+            d = int(min(b[m][1:]))
+            if d <= k:
                 out.add((sid, p))
-    return out
+                errs[(sid, p)] = d
+    return errs if return_err else out
 
 
 def brute_approx_hits(
-    seqs: list[np.ndarray], query: np.ndarray, k: int, hamming: bool = False
-) -> set[tuple[int, int]]:
+    seqs: list[np.ndarray], query: np.ndarray, k: int, hamming: bool = False,
+    return_err: bool = False,
+):
     """All (seqId, pos) where some substring starting at pos is within
-    distance k of the query (edit or Hamming)."""
+    distance k of the query (edit or Hamming).  ``return_err=True`` returns
+    {(seqId, pos): minimal distance} instead."""
+    errs: dict = {}
     out = set()
     m = len(query)
     for sid, s in enumerate(seqs):
@@ -93,9 +101,12 @@ def brute_approx_hits(
                     d = int(np.sum(s[p : p + m] != query))
                     if d <= k:
                         out.add((sid, p))
+                        errs[(sid, p)] = d
             else:
                 window = s[p : p + m + k]
                 dp = edit_distance_prefix(query, window)
-                if dp.min() <= k:
+                d = int(dp.min())
+                if d <= k:
                     out.add((sid, p))
-    return out
+                    errs[(sid, p)] = d
+    return errs if return_err else out
