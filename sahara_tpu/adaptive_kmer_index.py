@@ -117,9 +117,9 @@ class AdaptiveKmerIndex:
     def load(path: str) -> tuple["AdaptiveKmerIndex", dict[int, int]]:
         import io
 
-        from sahara_tpu.index.fmindex import load_index
+        from sahara_tpu.index.fmindex import FastNpz, load_index
 
-        with np.load(path) as data:
+        with FastNpz(path) as data:
             meta = json.loads(bytes(data["kmer_meta"]).decode())
             version = meta.pop("file_format_version")
             if version != FILE_FORMAT_VERSION:
