@@ -67,6 +67,10 @@ CASES = [
     # reference ignores -d ham in besthits mode, search.cpp:232-240)
     ("besthits_ham.txt", "r2", ["-e", "2", "-d", "ham", "-g", "optimum", "-m", "besthits"]),
     ("e2_lev_maxhits2.txt", "r2", ["-e", "2", "-d", "lev", "-g", "optimum", "--max_hits", "2"]),
+    # --dynamic_generator: WNC-top-down partition (search.cpp:193-205); a
+    # complete scheme stays complete under repartitioning, so the hit set
+    # must equal the static golden's (asserted in test_dynamic_generator)
+    ("e2_lev_dynamic.txt", "r2", ["-e", "2", "-d", "lev", "-g", "h2-k2", "--dynamic_generator"]),
     ("e1_lev_noreverse.txt", "r1", ["-e", "1", "-d", "lev", "-g", "optimum", "--no-reverse"]),
 ]
 
@@ -106,3 +110,17 @@ def test_kmer_search_golden(corpus, tmp_path):
     assert main(["kmer-search", "--query", str(tmp / "r0.fasta"), "--index", ref + ".kmer.idx",
                  "--output", str(out)]) == 0
     _check(tmp, "kmer_exact.txt", out)
+
+
+def test_dynamic_generator_hit_set_matches_static(corpus, tmp_path):
+    """--dynamic_generator changes the partition, never the hit set: a
+    complete scheme remains complete under WNC repartitioning, so sorted
+    output must equal the static run's (search.cpp:193-205)."""
+    tmp, ref = corpus
+    outs = []
+    for flags in ([], ["--dynamic_generator"]):
+        out = tmp_path / f"dyn{len(flags)}.txt"
+        assert main(["search", "-q", str(tmp / "r2.fasta"), "-i", ref + ".idx",
+                     "-o", str(out), "-e", "2", "-d", "lev", "-g", "h2-k2"] + flags) == 0
+        outs.append(sorted(open(out).read().splitlines()))
+    assert outs[0] == outs[1]

@@ -139,3 +139,32 @@ def test_optimize_by_wnc_partition_sums():
     w_uniform = weighted_node_count(expand(ss, 50), 4, 10**6, edit=True)
     w_opt = weighted_node_count(expand(ss, counts), 4, 10**6, edit=True)
     assert w_opt <= w_uniform + 1e-9
+
+
+def test_optimize_by_wnc_topdown_properties():
+    """--dynamic_generator path (optimizeByWNCTopDown, search.cpp:193-205):
+    partition sums to the query length, keeps every part non-empty, keeps
+    the scheme valid+complete, and is never worse than uniform expansion."""
+    from sahara_tpu.schemes.costs import optimize_by_wnc_topdown
+
+    for gen_name, k, length in [("optimum", 2, 50), ("h2-k2", 2, 100),
+                                ("pigeon", 3, 60), ("h2-k3", 3, 150)]:
+        ss = GENERATORS[gen_name].generator(0, k, 0, 0)
+        counts = optimize_by_wnc_topdown(ss, length, 5, 10**6, edit=True)
+        assert sum(counts) == length, (gen_name, counts)
+        assert len(counts) == ss[0].parts
+        assert all(c >= 1 for c in counts), (gen_name, counts)
+        ess = expand(ss, counts)
+        assert is_valid(ess)
+        assert is_complete(ess, 0, k)
+        w_uniform = weighted_node_count(expand(ss, length), 5, 10**6, edit=True)
+        w_opt = weighted_node_count(ess, 5, 10**6, edit=True)
+        assert w_opt <= w_uniform + 1e-9, (gen_name, w_opt, w_uniform)
+
+
+def test_optimize_by_wnc_topdown_degenerate():
+    from sahara_tpu.schemes.costs import optimize_by_wnc_topdown
+
+    assert optimize_by_wnc_topdown([], 50, 5, 10**6) == []
+    ss = [Search(pi=[0], l=[0], u=[0])]
+    assert optimize_by_wnc_topdown(ss, 7, 5, 10**6) == [7]
