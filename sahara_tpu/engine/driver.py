@@ -565,8 +565,10 @@ def search_queries(
         # engine resolution: "auto" prefers seed-and-verify (the cheapest
         # path by a wide margin) whenever the index carries a text store and
         # the parts are long enough to filter; scheme engines otherwise
+        # single-chip SV also admits scheme-seeded (one-error) plans for
+        # short reads (plan_parts_e1); the mesh SV driver seeds exactly
         use_sv = engine in ("auto", "sv") and mode in ("all", "besthits") and sv_eligible(
-            index, length, k
+            index, length, k, seed_errors=0 if use_mesh else 1
         )
         if engine == "sv" and not use_sv:
             raise ValueError(

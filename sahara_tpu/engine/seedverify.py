@@ -65,12 +65,7 @@ MIN_PART = 10  # shortest exact part worth seeding with (else candidate blowup)
 PART_CAP = 1 << 16
 
 
-def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int], ...] | None:
-    """Balanced split of an m-char query into k+1 parts: ((off, len), ...).
-    None when the parts would be too short to filter effectively."""
-    p = k + 1
-    if m // p < min_part:
-        return None
+def _balanced_split(m: int, p: int) -> tuple[tuple[int, int], ...]:
     base, rem = divmod(m, p)
     parts = []
     off = 0
@@ -79,6 +74,31 @@ def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int
         parts.append((off, ln))
         off += ln
     return tuple(parts)
+
+
+def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int], ...] | None:
+    """Balanced split of an m-char query into k+1 parts: ((off, len), ...).
+    None when the parts would be too short to filter effectively."""
+    p = k + 1
+    if m // p < min_part:
+        return None
+    return _balanced_split(m, p)
+
+
+def plan_parts_e1(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int], ...] | None:
+    """Parts for ONE-error-per-seed pigeonhole (scheme-seeded SV): with
+    P = ceil((k+1)/2) disjoint parts covering [0, m), any alignment with
+    <= k errors leaves some part whose restricted alignment has <= 1 error
+    (if every part had >= 2, the total would be >= 2P >= k+1).  Extends SV
+    eligibility to short reads whose exact k+1-way split would drop below
+    MIN_PART (e.g. 36bp at k=3: 2 parts of 18 instead of 4 parts of 9);
+    seeds come from a k=1 scheme-engine pass over the part slices."""
+    if k < 2:
+        return None  # k<2 either has an exact plan or parts are too short anyway
+    p = (k + 2) // 2
+    if m // p < min_part:
+        return None
+    return _balanced_split(m, p)
 
 
 def seed_bad_mask(
@@ -97,13 +117,14 @@ def seed_bad_mask(
     return bad if bad.any() else None
 
 
-def sv_eligible(index: DeviceIndex, m: int, k: int) -> bool:
-    return (
-        index.text4 is not None
-        and index.seq_starts is not None
-        and k <= 7
-        and plan_parts(m, k) is not None
-    )
+def sv_eligible(index: DeviceIndex, m: int, k: int, seed_errors: int = 0) -> bool:
+    """``seed_errors=1`` additionally admits the scheme-seeded plan
+    (plan_parts_e1) when the exact k+1-way split is too short."""
+    if not (index.text4 is not None and index.seq_starts is not None and k <= 7):
+        return False
+    if plan_parts(m, k) is not None:
+        return True
+    return seed_errors >= 1 and plan_parts_e1(m, k) is not None
 
 
 # --------------------------------------------------------------------------
@@ -412,6 +433,25 @@ def _quant(x: int) -> int:
     return -(-x // step) * step
 
 
+_SEED_TAPES: dict[tuple[int, bool], object] = {}
+
+
+def _seed_tape(ln: int, edit: bool):
+    """Compiled k=1 scheme tape for ln-char seed parts (cached)."""
+    key = (ln, edit)
+    t = _SEED_TAPES.get(key)
+    if t is None:
+        from sahara_tpu.engine.tape import compile_tape
+        from sahara_tpu.schemes import GENERATORS, expand, limit_to_hamming
+
+        ess = expand(GENERATORS["optimum"].generator(0, 1, 0, 0), ln)
+        if not edit:
+            ess = limit_to_hamming(ess)
+        t = compile_tape(ess)
+        _SEED_TAPES[key] = t
+    return t
+
+
 def dispatch_sv(
     index: DeviceIndex,
     queries: np.ndarray,  # int32[nq, m]
@@ -422,17 +462,47 @@ def dispatch_sv(
     queries_dev: jax.Array | None = None,
     part_cap: int = PART_CAP,
 ) -> dict:
-    """Launch the seed phase asynchronously; collect with collect_sv."""
+    """Launch the seed phase asynchronously; collect with collect_sv.
+
+    Two seed plans: exact parts (plan_parts — the lockstep scan) when the
+    k+1-way split is long enough, else ONE-error seeds over the
+    plan_parts_e1 split, found by a k=1 scheme-engine (workq) pass on the
+    part slices.  Verification is identical either way: the ±k candidate
+    band absorbs the anchor displacement (prefix indels <= k - e_part plus
+    minimal-span start trim <= e_part, so total <= k)."""
     nq, m = queries.shape
     parts = plan_parts(m, k)
+    qdev = jnp.asarray(queries, dtype=jnp.int32) if queries_dev is None else queries_dev
+    if parts is not None:
+        fut = seed_parts(index, qdev, parts)
+        return {
+            "fut": fut, "qdev": qdev, "nq": nq, "m": m, "k": k, "edit": edit,
+            "parts": parts, "active": active, "index": index, "part_cap": part_cap,
+            "bad": seed_bad_mask(index, np.asarray(queries), parts),
+        }
+    parts = plan_parts_e1(m, k)
     if parts is None:
         raise ValueError(f"seed-verify not applicable: m={m}, k={k}")
-    qdev = jnp.asarray(queries, dtype=jnp.int32) if queries_dev is None else queries_dev
-    fut = seed_parts(index, qdev, parts)
+    from sahara_tpu.engine.workq import dispatch_workq
+
+    qhost = np.asarray(queries)
+    act = None if active is None else np.asarray(active, dtype=bool)
+    groups: dict[int, list[int]] = {}  # part length -> part indices
+    for pi, (off, ln) in enumerate(parts):
+        groups.setdefault(ln, []).append(pi)
+    wq = []
+    for ln, pidx in sorted(groups.items()):
+        sub = np.stack([qhost[:, parts[pi][0] : parts[pi][0] + ln] for pi in pidx], axis=1)
+        pq = np.ascontiguousarray(sub.reshape(nq * len(pidx), ln)).astype(np.int32)
+        a = None if act is None else np.repeat(act, len(pidx))
+        wq.append(
+            (dispatch_workq(index, pq, _seed_tape(ln, edit), edit=edit, active=a,
+                            dedup=True, max_retries=6),
+             pidx)
+        )
     return {
-        "fut": fut, "qdev": qdev, "nq": nq, "m": m, "k": k, "edit": edit,
+        "seed_e1": wq, "qdev": qdev, "nq": nq, "m": m, "k": k, "edit": edit,
         "parts": parts, "active": active, "index": index, "part_cap": part_cap,
-        "bad": seed_bad_mask(index, np.asarray(queries), parts),
     }
 
 
@@ -442,11 +512,69 @@ _MAX_CAPR = 1 << 20  # verify slice bound (capR * S < 2^24 for S <= 15, k <= 7)
 def collect_sv_expand(st: dict) -> None:
     """Block on the seed result and host-expand candidates (phase between
     the two device calls — split out so drivers can pipeline)."""
+    if "seed_e1" in st:
+        _collect_e1_expand(st)
+        return
     packed = np.asarray(st["fut"])
     rows, q_of, off_of, fallback = expand_seeds(
         packed, st["nq"], st["parts"], st["active"], st.get("part_cap", PART_CAP),
         bad=st.get("bad"),
     )
+    st["cands"] = (rows, q_of, off_of)
+    st["fallback"] = fallback
+
+
+def _collect_e1_expand(st: dict) -> None:
+    """Expand one-error seed hits (workq FlatHits intervals) to candidate
+    rows; apply the per-(query, part) occurrence budget like the exact
+    path, and drop duplicate (query, part, row) candidates (the same text
+    span can witness two alignments of a part)."""
+    from sahara_tpu.engine.workq import collect_workq
+
+    nq, parts = st["nq"], st["parts"]
+    part_cap = st.get("part_cap", PART_CAP)
+    p_cnt = len(parts)
+    offs = np.asarray([off for off, _ in parts], dtype=np.int32)
+    tot = np.zeros(nq * p_cnt, dtype=np.int64)
+    acc = []  # (lb int64[], sz int64[], qp int64[] = q * p_cnt + part)
+    for st_wq, pidx in st["seed_e1"]:
+        h = collect_workq(st_wq)
+        if h.queue_overflow or h.hit_overflow:
+            raise RuntimeError(
+                "seed search overflowed its work buffers after retries "
+                "(pathologically repetitive reference for one-error seeds)"
+            )
+        if h.n_hits == 0:
+            continue
+        ns = st_wq["ns"]
+        npi = len(pidx)
+        pq = (h.lane // ns).astype(np.int64)
+        q = pq // npi
+        part = np.asarray(pidx, dtype=np.int64)[pq % npi]
+        qp = q * p_cnt + part
+        sz = h.sz.astype(np.int64)
+        np.add.at(tot, qp, sz)
+        acc.append((h.lb.astype(np.int64), sz, qp))
+    fallback = (tot.reshape(nq, p_cnt) > part_cap).any(axis=1)
+    if acc:
+        lb = np.concatenate([a[0] for a in acc])
+        sz = np.concatenate([a[1] for a in acc])
+        qp = np.concatenate([a[2] for a in acc])
+        sz = np.where(fallback[(qp // p_cnt).astype(np.int64)], 0, sz)
+        total = int(sz.sum())
+        lane = np.repeat(np.arange(len(sz), dtype=np.int64), sz)
+        excl = np.concatenate([[0], np.cumsum(sz)[:-1]])
+        rows = (lb[lane] + (np.arange(total, dtype=np.int64) - excl[lane])).astype(np.int64)
+        key = (qp[lane] << 32) | rows  # rows < 2^31 (int32 SA)
+        key = np.unique(key)
+        rows = (key & 0xFFFFFFFF).astype(np.int32)
+        qp_u = key >> 32
+        q_of = (qp_u // p_cnt).astype(np.int32)
+        off_of = offs[(qp_u % p_cnt).astype(np.int32)]
+    else:
+        rows = np.zeros(0, dtype=np.int32)
+        q_of = np.zeros(0, dtype=np.int32)
+        off_of = np.zeros(0, dtype=np.int32)
     st["cands"] = (rows, q_of, off_of)
     st["fallback"] = fallback
 

@@ -164,6 +164,35 @@ class FlatHits:
     live_profile: np.ndarray | None = None  # int32[1 + steps]: seeds + per-step live
 
 
+def _fold_rows(cols: list[jax.Array], g: int, f: int) -> jax.Array:
+    """Pack per-element int32 fields into ``f`` groups of ``g`` lanes per
+    wide row: element i lives in row i >> log2(f), lanes (i & (f-1))*g ..
+    +len(cols).  Narrow (<96-lane) row gathers fall off a TPU tiling cliff
+    (21-50 ns/row vs ~9ns wide — see engine.rank's folded occ layout); this
+    re-layout lets :func:`_fold_take` fetch state rows at the wide rate."""
+    n = cols[0].shape[0]
+    cols = cols + [jnp.zeros_like(cols[0])] * (g - len(cols))
+    return jnp.stack(cols, axis=1).reshape(n // f, g * f)
+
+
+def _fold_take(mat: jax.Array, idx: jax.Array, g: int, f: int) -> jax.Array:
+    """Gather logical g-lane rows from a :func:`_fold_rows` matrix: one wide
+    row gather + a strided mask-add group select (one mask pass over the
+    wide row plus f-1 g-lane adds — ~free next to the gather)."""
+    wide = jnp.take(mat, idx >> (f.bit_length() - 1), axis=0)  # [n, g*f]
+    grp = (idx & (f - 1))[:, None]
+    lane_grp = jnp.asarray(np.arange(g * f, dtype=np.int32) // g)[None, :]
+    masked = jnp.where(lane_grp == grp, wide, 0)
+    row = masked[:, :g]
+    for j in range(1, f):
+        row = row + masked[:, j * g : (j + 1) * g]
+    return row  # [n, g]
+
+
+_SF_G, _SF_F = 8, 16  # state fold: 8-lane field groups, 16 states per row
+_PF_G, _PF_F = 4, 32  # rank-product fold: 4-lane groups, 32 per row
+
+
 def _compact_matmul(
     fl: jax.Array, payload: jax.Array, cap: int, tri: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
@@ -461,7 +490,21 @@ def workq_search(
             qc = (word >> 9) & 0xFF
             maxlo = (word >> 17) & 0xF
 
-            if packed:
+            if packed == "fold":
+                # folded state matrix (see _fold_rows): serves the dedup
+                # compare AND the survivor parent-field gathers below at the
+                # wide-row gather rate (killed/drained rows never become
+                # parents, so pre-dedup values are safe)
+                SF = lax.optimization_barrier(
+                    _fold_rows([q_lb, q_lbr, q_sz, meta, word], _SF_G, _SF_F)
+                )
+            elif packed == "wide":
+                # dedup-only narrow stack; the parent gather reads the
+                # combined state+product matrix built after the occ gather
+                S4 = lax.optimization_barrier(
+                    jnp.stack([q_lb, q_lbr, q_sz, meta], axis=1)
+                )
+            elif packed:
                 # one stacked matrix serves the dedup compare AND the
                 # survivor parent-field gathers below (killed/drained rows
                 # never become parents, so pre-dedup values are safe)
@@ -500,7 +543,13 @@ def workq_search(
                     table = jnp.full(ht, _I32_MAX, dtype=jnp.int32).at[hsh].min(packed_pri)
                     win = jnp.minimum(jnp.take(table, hsh) & (ht - 1), cap - 1)
                     keym = jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)
-                    if packed:
+                    if packed == "fold":
+                        W = _fold_take(SF, win, _SF_G, _SF_F)
+                        w_lb, w_lbr, w_sz, w_meta = W[:, 0], W[:, 1], W[:, 2], W[:, 3]
+                    elif packed == "wide":
+                        W = jnp.take(S4, win, axis=0)
+                        w_lb, w_lbr, w_sz, w_meta = W[:, 0], W[:, 1], W[:, 2], W[:, 3]
+                    elif packed:
                         W = jnp.take(S5, win, axis=0)
                         w_lb, w_lbr, w_sz, w_meta = W[:, 0], W[:, 1], W[:, 2], W[:, 3]
                     else:
@@ -574,7 +623,28 @@ def workq_search(
             prefix = jnp.cumsum(cnt, axis=-1) - cnt
             newp = c_arr[None, :sl] + r_lo[:, :sl]
             news = secondary[:, None] + prefix
-            if packed:
+            if packed == "fold":
+                # rank products folded 32-per-wide-row (entry = parent*sl+sym)
+                PF = lax.optimization_barrier(
+                    _fold_rows(
+                        [cnt.reshape(-1), newp.reshape(-1), news.reshape(-1)],
+                        _PF_G, _PF_F,
+                    )
+                )
+            elif packed == "wide":
+                # ONE combined [cap, 5+3*sl] matrix: state fields + ALL
+                # per-symbol rank products.  The survivor loop then gathers
+                # once at `parent` and selects the symbol column with a
+                # one-hot mask-add — measured 14.1 ns/row vs 26 ns for the
+                # separate S5 (12.0) + P3-at-pidx (14.0) narrow gathers
+                # (tools/perf_step.py on v5e, cap=57344)
+                WIDE = lax.optimization_barrier(
+                    jnp.concatenate(
+                        [jnp.stack([q_lb, q_lbr, q_sz, meta, word], axis=1), cnt, newp, news],
+                        axis=1,
+                    )
+                )
+            elif packed:
                 # rank products as one [cap*sl, 3] matrix: one row
                 # gather at pidx instead of three flat takes
                 P3 = lax.optimization_barrier(
@@ -675,7 +745,23 @@ def workq_search(
 
             # ---- survivor fields ----------------------------------------
             pidx = parent * sl + sym
-            if packed:
+            if packed == "wide":
+                P = jnp.take(WIDE, parent, axis=0)
+                p_lb, p_lbr, p_sz, p_meta, p_word = (
+                    P[:, 0], P[:, 1], P[:, 2], P[:, 3], P[:, 4],
+                )
+                oh = jnp.asarray(np.arange(sl, dtype=np.int32))[None, :] == sym[:, None]
+                g_cnt = jnp.where(oh, P[:, 5 : 5 + sl], 0).sum(axis=1)
+                g_newp = jnp.where(oh, P[:, 5 + sl : 5 + 2 * sl], 0).sum(axis=1)
+                g_news = jnp.where(oh, P[:, 5 + 2 * sl : 5 + 3 * sl], 0).sum(axis=1)
+            elif packed == "fold":
+                P = _fold_take(SF, parent, _SF_G, _SF_F)
+                p_lb, p_lbr, p_sz, p_meta, p_word = (
+                    P[:, 0], P[:, 1], P[:, 2], P[:, 3], P[:, 4],
+                )
+                G = _fold_take(PF, pidx, _PF_G, _PF_F)
+                g_cnt, g_newp, g_news = G[:, 0], G[:, 1], G[:, 2]
+            elif packed:
                 P = jnp.take(S5, parent, axis=0)
                 p_lb, p_lbr, p_sz, p_meta, p_word = (
                     P[:, 0], P[:, 1], P[:, 2], P[:, 3], P[:, 4],
@@ -1090,7 +1176,7 @@ def dispatch_workq(
     active: np.ndarray | None = None,
     q_mult: int = 16,
     hit_mult: int = 32,
-    max_retries: int = 4,
+    max_retries: int = 6,
     device_tape: tuple | None = None,
     dedup: bool = False,
     dedup_every: int | None = None,
@@ -1113,7 +1199,16 @@ def dispatch_workq(
     import os
 
     if packed is None:
-        packed = os.environ.get("SAHARA_NO_PACKED_GATHERS", "") != "1"
+        # gather mode for the hot step: "fold" (wide folded state/product
+        # rows — the fast path, see _fold_rows), "packed" (narrow stacked
+        # matrices), "flat" (per-field takes; also SAHARA_NO_PACKED_GATHERS=1)
+        mode = _os.environ.get("SAHARA_WORKQ_GATHER", "")
+        if mode:
+            packed = {"fold": "fold", "wide": "wide", "packed": True, "flat": False}[mode]
+        elif _os.environ.get("SAHARA_NO_PACKED_GATHERS", "") == "1":
+            packed = False
+        else:
+            packed = "wide"
     if dedup_every is None:
         # cadence: dominance-merge every Nth step — the scatter-min +
         # winner-verify costs ~14ns/cap-slot, so thinning it trades merge
@@ -1279,15 +1374,16 @@ def collect_workq(st: dict) -> FlatHits:
                 max_live=max_live,
                 live_profile=profile,
             )
+        # an overflow DISTORTS the observed peaks downward (states lost at
+        # the cap spawn no children), so max_live/n_true lag the true need
+        # and a pure jump ladder can creep: grow 4x once a retry has
+        # already happened, 2x + peak-jump on the first
+        growth = 2 if st["attempt"] == 0 else 4
         if q_ovf_b:
-            # max_live is the TRUE uncapped queue peak, so one retry jumps
-            # straight to a sufficient capacity (the 2x floor keeps progress
-            # monotone if max_live itself was distorted by the overflow)
             st["use_profile"] = False  # fall back to a flat plan on retry
-            st["q_cap"] = min(max(st["q_cap"] * 2, _pow2_cap(max_live + _BLK)), 1 << 23)
+            st["q_cap"] = min(max(st["q_cap"] * growth, _pow2_cap(max_live + _BLK)), 1 << 23)
         if h_ovf_b:
-            # n_true is the uncapped finished-hit count: jump, don't ladder
-            st["hq_cap"] = min(max(st["hq_cap"] * 2, _pow2_cap(n_true + _BLK)), 1 << 23)
+            st["hq_cap"] = min(max(st["hq_cap"] * growth, _pow2_cap(n_true + _BLK)), 1 << 23)
         st["attempt"] += 1
         _workq_attempt(st)
 

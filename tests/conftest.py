@@ -27,3 +27,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Isolate the engine's capacity-memory file per test session: tests must
+# not read (or pollute) the user's production ~/.cache capmem — shared
+# state made retry-budget tests order-dependent and skewed bench tuning.
+import tempfile  # noqa: E402
+
+os.environ["SAHARA_CAPMEM_PATH"] = os.path.join(
+    tempfile.gettempdir(), f"sahara_capmem_test_{os.getpid()}.json"
+)

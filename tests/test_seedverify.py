@@ -261,3 +261,123 @@ def test_sv_boundary_and_sentinel():
     assert got == want
     # the straddling query found nothing
     assert not any(t[2] == 2 for t in got)
+
+
+# ---------------------------------------------------------------------------
+# scheme-seeded SV (one-error seeds, plan_parts_e1): short reads whose
+# exact k+1-way split would drop below MIN_PART
+# ---------------------------------------------------------------------------
+
+
+def test_plan_parts_e1():
+    from sahara_tpu.engine.seedverify import plan_parts_e1
+
+    # 36bp/k=3: exact plan needs 4 parts of 9 (< MIN_PART) -> None; e1 plan
+    # is 2 parts of 18 (any <=3-error alignment leaves a part with <=1)
+    assert plan_parts(36, 3) is None
+    assert plan_parts_e1(36, 3) == ((0, 18), (18, 18))
+    assert plan_parts_e1(25, 2) == ((0, 13), (13, 12))
+    assert plan_parts_e1(100, 7) == ((0, 25), (25, 25), (50, 25), (75, 25))
+    assert plan_parts_e1(18, 3) is None  # 2 parts of 9 still too short
+    assert plan_parts_e1(36, 1) is None  # k<2 never needs e1
+
+
+@pytest.mark.parametrize("edit", [True, False])
+@pytest.mark.parametrize("m,k", [(36, 3), (25, 2)])
+def test_sv_e1_matches_oracle(edit, m, k):
+    """Scheme-seeded SV vs the brute oracle on reads too short for exact
+    pigeonhole seeding."""
+    from sahara_tpu.engine.seedverify import plan_parts_e1
+
+    rng = np.random.default_rng(1000 + m + k + (7 if edit else 0))
+    seqs = random_seqs(rng, 4, min_len=80, max_len=200, sigma=5)
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    assert plan_parts(m, k) is None and plan_parts_e1(m, k) is not None
+    assert sv_eligible(dev, m, k, seed_errors=1)
+    assert not sv_eligible(dev, m, k)
+
+    queries = []
+    for _ in range(20):
+        sid = int(rng.integers(0, len(seqs)))
+        s = seqs[sid]
+        p = int(rng.integers(0, len(s) - m - k))
+        q = np.array(s[p : p + m], dtype=np.uint8)
+        for _ in range(int(rng.integers(0, k + 1))):
+            kind = int(rng.integers(0, 3)) if edit else 0
+            at = int(rng.integers(0, len(q)))
+            if kind == 0:
+                q[at] = 1 + (q[at] - 1 + int(rng.integers(1, 4))) % 4
+            elif kind == 1 and len(q) > 1:
+                q = np.delete(q, at)
+            else:
+                q = np.insert(q, at, rng.integers(1, 5))
+        q = q[:m]
+        if len(q) < m:
+            q = np.concatenate([q, rng.integers(1, 5, m - len(q)).astype(np.uint8)])
+        queries.append(q.astype(np.uint8))
+    queries += [rng.integers(1, 5, m).astype(np.uint8) for _ in range(6)]
+
+    qarr = np.stack(queries).astype(np.int32)
+    sv = run_sv_search(dev, qarr, k, edit=edit)
+    assert sv.fallback is None or not sv.fallback.any()
+    got = _hits_as_set(host, sv)
+
+    want = set()
+    for qi, q in enumerate(queries):
+        oracle = (
+            brute_edit_hits_minimal(seqs, q, k)
+            if edit
+            else brute_approx_hits(seqs, q, k, hamming=True)
+        )
+        for sid, pos in oracle:
+            want.add((sid, pos, qi))
+    assert got == want
+
+
+@pytest.mark.parametrize("edit", [True, False])
+def test_sv_e1_driver_matches_workq(edit):
+    """search_queries auto engine (scheme-seeded SV at 36bp/k=3) must equal
+    the forced workq engine's hit rows, including N-containing queries."""
+    from sahara_tpu.engine.driver import search_queries
+
+    rng = np.random.default_rng(77)
+    seqs = random_seqs(rng, 3, min_len=100, max_len=220, sigma=5)
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 3
+    queries = []
+    for i in range(12):
+        sid = int(rng.integers(0, len(seqs)))
+        p = int(rng.integers(0, len(seqs[sid]) - m))
+        q = np.array(seqs[sid][p : p + m], dtype=np.uint8)
+        for _ in range(min(i % (k + 1), k)):
+            at = int(rng.integers(0, m))
+            q[at] = 1 + (q[at] - 1 + int(rng.integers(1, 4))) % 4
+        queries.append(q)
+    queries[3] = queries[3].copy()
+    queries[3][5] = 5  # an N: e1 seeds go through workq, which handles any rank
+    a = search_queries(dev, queries, k=k, edit=edit, engine="auto")
+    b = search_queries(dev, queries, k=k, edit=edit, engine="workq")
+    assert sorted(a.rows()) == sorted(b.rows())
+
+
+def test_sv_e1_part_cap_fallback():
+    """Poly-A reads saturate the per-part budget under e1 seeding too; the
+    driver must re-search them exactly through the scheme engine."""
+    from sahara_tpu.engine.driver import search_queries
+    from sahara_tpu.engine.seedverify import run_sv_search as _run
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(1, 5, size=1500).astype(np.uint8)
+    base[200:800] = 1  # long poly-A run
+    host = build_bifmindex([base], 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 3
+    qs = [np.ones(m, dtype=np.uint8), np.array(base[50 : 50 + m], dtype=np.uint8)]
+    sv = _run(dev, np.stack(qs).astype(np.int32), k, edit=True, part_cap=64)
+    assert sv.fallback is not None and sv.fallback[0]  # poly-A flagged
+    # end-to-end: auto engine (SV + workq re-search) == forced workq
+    a = search_queries(dev, qs, k=k, edit=True, engine="auto", sv_part_cap=64)
+    b = search_queries(dev, qs, k=k, edit=True, engine="workq")
+    assert sorted(a.rows()) == sorted(b.rows())

@@ -62,10 +62,17 @@ def test_auto_picks_sv_and_falls_back(workload):
     r_auto = search_queries(dev, queries, k=2, edit=True, chunk=16)
     r_sv = search_queries(dev, queries, k=2, edit=True, engine="sv", chunk=16)
     assert _rows(r_auto) == _rows(r_sv)
-    # short queries (parts < MIN_PART) -> auto falls back to workq silently
+    # 20bp/k=2: exact parts would be < MIN_PART, but the scheme-seeded
+    # (one-error) plan covers it — auto routes via SV-e1, hit set identical
     short = [q[:20] for q in queries[:6]]
     r_short = search_queries(dev, short, k=2, edit=True, chunk=8)
     r_short_wq = search_queries(dev, short, k=2, edit=True, engine="workq", chunk=8)
     assert _rows(r_short) == _rows(r_short_wq)
+    # 16bp/k=2: even e1 parts (2x8) fall below MIN_PART -> sv must refuse,
+    # auto falls back to workq silently
+    tiny = [q[:16] for q in queries[:6]]
+    r_tiny = search_queries(dev, tiny, k=2, edit=True, chunk=8)
+    r_tiny_wq = search_queries(dev, tiny, k=2, edit=True, engine="workq", chunk=8)
+    assert _rows(r_tiny) == _rows(r_tiny_wq)
     with pytest.raises(ValueError):
-        search_queries(dev, short, k=2, edit=True, engine="sv", chunk=8)
+        search_queries(dev, tiny, k=2, edit=True, engine="sv", chunk=8)

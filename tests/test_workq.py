@@ -42,7 +42,7 @@ def _v1_multiset(v1):
 
 @pytest.mark.parametrize("gen", ["optimum", "h2-k2"])
 @pytest.mark.parametrize("edit", [False, True])
-@pytest.mark.parametrize("packed", [True, False])
+@pytest.mark.parametrize("packed", ["wide", "fold", True, False])
 def test_workq_matches_frontier_engine(fixture, gen, edit, packed):
     _, dev, qarr = fixture
     k = 2
@@ -68,9 +68,15 @@ def test_workq_packed_gathers_match_unpacked(fixture, edit):
     tape = compile_tape(ess)
     a = run_workq_search(dev, qarr, tape, edit=edit, dedup=True, packed=True)
     b = run_workq_search(dev, qarr, tape, edit=edit, dedup=True, packed=False)
+    c = run_workq_search(dev, qarr, tape, edit=edit, dedup=True, packed="fold")
+    d = run_workq_search(dev, qarr, tape, edit=edit, dedup=True, packed="wide")
     sa = sorted(zip(a.lane.tolist(), a.lb.tolist(), a.sz.tolist(), a.err.tolist()))
     sb = sorted(zip(b.lane.tolist(), b.lb.tolist(), b.sz.tolist(), b.err.tolist()))
+    sc = sorted(zip(c.lane.tolist(), c.lb.tolist(), c.sz.tolist(), c.err.tolist()))
+    sd = sorted(zip(d.lane.tolist(), d.lb.tolist(), d.sz.tolist(), d.err.tolist()))
     assert sa == sb
+    assert sa == sc
+    assert sa == sd
 
 
 def test_workq_active_mask(fixture):

@@ -68,6 +68,16 @@ def run_cases() -> list:
         rows = sorted(zip(h.lane.tolist(), h.lb.tolist(), h.sz.tolist(), h.err.tolist()))
         out.append({"case": [gen, k, edit, dedup], "n": h.n_hits, "rows": rows})
 
+    # every gather mode of the hot step on one edit+dedup workload: the
+    # folded/packed row-gather patterns are exactly the class the axon
+    # backend has miscompiled before
+    ess = expand(GENERATORS["optimum"].generator(0, 2, 0, 0), m)
+    tape = compile_tape(ess)
+    for mode in ("wide", "fold", True, False):
+        h = run_workq_search(dev, qarr, tape, edit=True, dedup=True, packed=mode)
+        rows = sorted(zip(h.lane.tolist(), h.lb.tolist(), h.sz.tolist(), h.err.tolist()))
+        out.append({"case": ["gather", str(mode)], "n": h.n_hits, "rows": rows})
+
     # seed-and-verify engine (longer queries so k=2 parts stay seedable)
     from sahara_tpu.engine.seedverify import run_sv_search
 
