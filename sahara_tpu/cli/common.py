@@ -10,7 +10,7 @@ import sys
 
 import numpy as np
 
-from sahara_tpu.alphabet import Alphabet
+from sahara_tpu.alphabet import INVALID_RANK, Alphabet
 from sahara_tpu.io.fasta import read_fasta
 from sahara_tpu.utils.errors import SaharaError
 from sahara_tpu.utils.stopwatch import Timings  # noqa: F401  (re-exported for commands)
@@ -22,8 +22,34 @@ def load_queries_ranked(
     """Load a FASTA into rank arrays, optionally appending the reverse
     complement after each record (search.cpp:115-124: queryIds count both
     strands)."""
+    records = list(read_fasta(path))
+    lengths = {len(r.seq) for r in records}
+    if len(lengths) == 1 and records and next(iter(lengths)) > 0:
+        # uniform-length fast path (the overwhelmingly common read-file
+        # shape): ONE table lookup over the concatenated bytes and a
+        # matrix revcomp — per-record numpy-call overhead is ~8us, which
+        # is minutes at configs[4]'s 10M reads
+        m = next(iter(lengths))
+        flat = np.frombuffer(b"".join(r.seq for r in records), dtype=np.uint8)
+        ranks = alphabet.char_to_rank_table[flat].reshape(len(records), m)
+        bad_r, bad_c = np.nonzero(ranks == INVALID_RANK)
+        if len(bad_r):
+            i, pos = int(bad_r[0]), int(bad_c[0])
+            ch = records[i].seq[pos]
+            n_prev = i * (2 if add_revcomp else 1)
+            raise SaharaError(
+                f"{context} '{records[i].id}' ({n_prev + 1}) has invalid character at "
+                f"position {pos} '{chr(ch)}'({ch:x})"
+            )
+        if add_revcomp:
+            rc = alphabet.complement[ranks[:, ::-1]]
+            out = np.empty((2 * len(records), m), dtype=np.uint8)
+            out[0::2] = ranks
+            out[1::2] = rc
+            return list(out)
+        return list(ranks)
     queries: list[np.ndarray] = []
-    for record in read_fasta(path):
+    for record in records:
         ranks = alphabet.char_to_rank(record.seq)
         if (pos := alphabet.verify_rank(ranks)) is not None:
             raise SaharaError(
@@ -77,7 +103,28 @@ def load_reference_ranked(
 
 
 def write_hits(path, rows) -> int:
-    """Write ``queryId seqId pos`` lines (search.cpp:256-261)."""
+    """Write ``queryId seqId pos`` lines (search.cpp:256-261).
+
+    ``rows`` is an iterable of (queryId, seqId, pos[, ...]) tuples or a
+    3-tuple of parallel numpy arrays (the vectorized form drivers pass at
+    configs[4] scale — a per-row f-string loop costs ~1.5us/row, minutes
+    at 10^7+ hits)."""
+    if (
+        isinstance(rows, tuple)
+        and len(rows) == 3
+        and all(isinstance(c, np.ndarray) for c in rows)
+    ):
+        q, s, p = rows
+        n = len(q)
+        if n == 0:
+            open(path, "w").close()
+            return 0
+        cols = np.char.mod("%d", np.stack([q, s, p], axis=1))
+        lines = np.char.add(np.char.add(np.char.add(np.char.add(cols[:, 0], " "), cols[:, 1]), " "), cols[:, 2])
+        with open(path, "w") as fh:
+            fh.write("\n".join(lines.tolist()))
+            fh.write("\n")
+        return n
     n = 0
     with open(path, "w") as fh:
         for query_id, seq_id, pos, *_ in rows:

@@ -132,7 +132,7 @@ def cmd_search(args):
     timing.mark("search")
     timing.mark("locate")
 
-    n = write_hits(output_path, result.rows())
+    n = write_hits(output_path, (result.query_id, result.seq_id, result.pos))
     if multihost:
         from sahara_tpu.parallel.multihost import merge_on_rank_zero
 
@@ -254,7 +254,7 @@ def _rbi_search(args, alphabet, unknown_random_ranks: bool):
     )
     timing.mark("search")
     timing.mark("locate")
-    n = write_hits(args.output, result.rows())
+    n = write_hits(args.output, (result.query_id, result.seq_id, result.pos))
     timing.mark("result")
     timing.print_stats(n_queries=len(queries), n_hits=n)
 

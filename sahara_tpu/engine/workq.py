@@ -1211,9 +1211,11 @@ def dispatch_workq(
             packed = "wide"
     if dedup_every is None:
         # cadence: dominance-merge every Nth step — the scatter-min +
-        # winner-verify costs ~14ns/cap-slot, so thinning it trades merge
-        # latency (slightly larger queue) for step cost
-        dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "1")) if dedup else 0
+        # winner-verify costs ~25ns/cap-slot (tools/perf_step.py), so
+        # thinning it trades merge latency (slightly larger queue) for
+        # step cost; every-2nd measured ~3% faster end-to-end than every
+        # step at bench shapes, hit-identical (interleaved A/B, r4)
+        dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "2")) if dedup else 0
     nq, m = queries.shape
     n_dev = mesh.devices.size if mesh is not None else 1
     if nq % n_dev:

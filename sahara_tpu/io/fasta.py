@@ -21,27 +21,58 @@ class FastaRecord:
 
 
 def read_fasta(path: str | os.PathLike) -> Iterator[FastaRecord]:
-    """Iterate records of a FASTA file (sequence returned as bytes)."""
-    rec_id: str | None = None
-    chunks: list[bytes] = []
+    """Iterate records of a FASTA file (sequence returned as bytes).
+
+    Block-wise parser: records are split on ``\\n>`` boundaries with
+    C-level bytes ops instead of a per-line Python loop — at configs[4]
+    scale (10M+ short reads, 20M+ lines) the per-line loop costs minutes
+    of single-core time in front of the search (SURVEY §2.2 ivio::fasta;
+    semantics unchanged, incl. legacy ';' comment lines)."""
+    _BLOCK = 1 << 26  # 64MB
     with open(path, "rb") as fh:
-        for raw in fh:
-            line = raw.rstrip(b"\r\n")
-            if not line:
-                continue
-            if line.startswith(b">"):
-                if rec_id is not None:
-                    yield FastaRecord(rec_id, b"".join(chunks))
-                rec_id = line[1:].decode()
-                chunks = []
-            elif line.startswith(b";"):
-                continue  # legacy comment line
-            else:
-                if rec_id is None:
-                    raise ValueError(f"{path}: sequence data before first '>' header")
-                chunks.append(line)
-        if rec_id is not None:
-            yield FastaRecord(rec_id, b"".join(chunks))
+        buf = fh.read(_BLOCK)
+        if not buf:
+            return
+        # anything before the first line-start '>' must be blank/comment
+        # lines only ('>' inside a ';' comment is not a record start)
+        if buf.startswith(b">"):
+            first = 0
+        else:
+            p = buf.find(b"\n>")
+            first = p + 1 if p >= 0 else -1
+        head = buf[:first] if first >= 0 else buf
+        if any(ln and not ln.startswith(b";") for ln in head.split(b"\n")):
+            raise ValueError(f"{path}: sequence data before first '>' header")
+        if first < 0:
+            return
+        buf = buf[first + 1 :]  # drop the leading '>'
+        while True:
+            nxt = fh.read(_BLOCK)
+            if nxt:
+                buf += nxt
+                # keep reading until the block holds at least one full record
+                if b"\n>" not in buf:
+                    continue
+            recs = buf.split(b"\n>")
+            tail = recs.pop() if nxt else None
+            if tail is not None:
+                buf = tail
+            for rec in recs:
+                nl = rec.find(b"\n")
+                if nl < 0:
+                    yield FastaRecord(rec.rstrip(b"\r").decode(), b"")
+                    continue
+                rec_id = rec[:nl].rstrip(b"\r").decode()
+                body = rec[nl + 1 :]
+                if b";" in body:  # rare: strip legacy comment lines
+                    body = b"\n".join(
+                        ln for ln in body.split(b"\n") if not ln.startswith(b";")
+                    )
+                yield FastaRecord(
+                    rec_id, body.replace(b"\n", b"").replace(b"\r", b"")
+                )
+            if not nxt:
+                return
 
 
 def write_fasta(
