@@ -84,3 +84,58 @@ def test_engines_agree_with_oracle(cfg):
         )
         got = set(zip(res.query_id.tolist(), res.seq_id.tolist(), res.pos.tolist()))
         assert got == want, f"seed={seed} engine={engine}"
+
+
+ENRICHED_CONFIGS = [
+    # (seed, m, k, edit, mode) over a make_genome corpus (satellites,
+    # LINE-like copies, poly-A/telomeric runs, N gaps — sim/corpus.py)
+    (201, 30, 2, True, "all"),
+    (202, 36, 3, True, "all"),   # scheme-seeded SV territory
+    (203, 40, 2, False, "all"),
+    (204, 33, 2, True, "besthits"),
+]
+
+
+@pytest.mark.parametrize("cfg", ENRICHED_CONFIGS, ids=[str(c[0]) for c in ENRICHED_CONFIGS])
+def test_engines_agree_on_enriched_genome(cfg):
+    """All engines vs the brute oracle on the repeat/low-complexity/N-gap
+    enriched corpus (the chr21 proxy, sim/corpus.py): satellites stress the
+    SV part budget + fallback routing, N gaps stress rank-5 handling."""
+    from sahara_tpu.sim.corpus import make_genome
+
+    seed, m, k, edit, mode = cfg
+    rng = np.random.default_rng(seed)
+    ref, _ = make_genome(
+        rng, 4000, satellite_frac=0.08, lowcomp_frac=0.04, n_gap_frac=0.02
+    )
+    seqs = [ref[:2500].copy(), ref[2500:].copy()]
+    queries = []
+    for i in range(12):
+        s = seqs[i % 2]
+        p = int(rng.integers(0, len(s) - m - k))
+        q = np.array(s[p : p + m], dtype=np.uint8)
+        for _ in range(int(rng.integers(0, k + 1))):
+            kind = int(rng.integers(0, 3)) if edit else 0
+            at = int(rng.integers(0, len(q)))
+            if kind == 0:
+                q[at] = 1 + (q[at] - 1 + int(rng.integers(1, 4))) % 4
+            elif kind == 1 and len(q) > 1:
+                q = np.delete(q, at)
+            else:
+                q = np.insert(q, at, int(rng.integers(1, 5)))
+        q = q[:m]
+        if len(q) < m:
+            q = np.concatenate([q, rng.integers(1, 5, m - len(q)).astype(np.uint8)])
+        queries.append(q.astype(np.uint8))
+    queries.append(np.ones(m, dtype=np.uint8))  # poly-A: part-budget stressor
+
+    host = build_bifmindex(seqs, 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    want = _oracle_rows(seqs, queries, k, edit, mode)
+    for engine in ("auto", "workq"):
+        res = search_queries(
+            dev, queries, k=k, generator_name="pigeon_opt", edit=edit,
+            mode=mode, engine=engine,
+        )
+        got = set(zip(res.query_id.tolist(), res.seq_id.tolist(), res.pos.tolist()))
+        assert got == want, f"seed={seed} engine={engine}"
