@@ -22,6 +22,30 @@ def load_queries_ranked(
     """Load a FASTA into rank arrays, optionally appending the reverse
     complement after each record (search.cpp:115-124: queryIds count both
     strands)."""
+    from sahara_tpu.io.fasta import read_fasta_seq_matrix
+
+    mat = read_fasta_seq_matrix(path)
+    if mat is not None:
+        # fully-vectorized uniform-read path: no per-record Python at all
+        ranks = alphabet.char_to_rank_table[mat]
+        bad_r, bad_c = np.nonzero(ranks == INVALID_RANK)
+        if len(bad_r):
+            # re-read with ids only to produce the reference-style error
+            recs = list(read_fasta(path))
+            i, pos = int(bad_r[0]), int(bad_c[0])
+            ch = int(mat[i, pos])
+            n_prev = i * (2 if add_revcomp else 1)
+            raise SaharaError(
+                f"{context} '{recs[i].id}' ({n_prev + 1}) has invalid character at "
+                f"position {pos} '{chr(ch)}'({ch:x})"
+            )
+        if add_revcomp:
+            rc = alphabet.complement[ranks[:, ::-1]]
+            out = np.empty((2 * len(ranks), ranks.shape[1]), dtype=np.uint8)
+            out[0::2] = ranks
+            out[1::2] = rc
+            return list(out)
+        return list(ranks)
     records = list(read_fasta(path))
     lengths = {len(r.seq) for r in records}
     if len(lengths) == 1 and records and next(iter(lengths)) > 0:

@@ -78,10 +78,19 @@ def _balanced_split(m: int, p: int) -> tuple[tuple[int, int], ...]:
 
 def plan_parts(m: int, k: int, min_part: int = MIN_PART) -> tuple[tuple[int, int], ...] | None:
     """Balanced split of an m-char query into k+1 parts: ((off, len), ...).
-    None when the parts would be too short to filter effectively."""
-    p = k + 1
+    None when the parts would be too short to filter effectively.
+
+    SAHARA_SV_PARTS_EXTRA=N adds N extra parts (still pigeonhole-complete:
+    k errors over k+1+N parts leave >= 1+N parts exact) — shorter parts
+    cut the seed scan's post-table step count at the cost of candidate
+    volume; an A/B knob for the seed-phase floor (tools/ab_sv_parts.py)."""
+    import os
+
+    p = k + 1 + int(os.environ.get("SAHARA_SV_PARTS_EXTRA", "0"))
     if m // p < min_part:
-        return None
+        p = k + 1
+        if m // p < min_part:
+            return None
     return _balanced_split(m, p)
 
 

@@ -75,6 +75,45 @@ def read_fasta(path: str | os.PathLike) -> Iterator[FastaRecord]:
                 return
 
 
+def read_fasta_seq_matrix(path: str | os.PathLike):
+    """Fully-vectorized load of a uniform short-read FASTA: returns a
+    uint8[n_records, L] matrix of sequence BYTES, or None when the file is
+    not the simple shape (one '>' header line + exactly one equal-length
+    sequence line per record, no comments).
+
+    Record ids are deliberately not materialized — the search path never
+    uses them, and skipping 10M+ Python string decodes turns a ~107s parse
+    into a ~3s one (measured at configs[4] scale).  Callers needing ids
+    (or any other FASTA shape) use :func:`read_fasta`."""
+    import numpy as np
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not data.startswith(b">"):
+        return None
+    arr = np.frombuffer(data, dtype=np.uint8)
+    if arr[-1] != 0x0A:  # simplify: require a trailing newline
+        return None
+    nl = np.flatnonzero(arr == 0x0A)
+    if len(nl) % 2:
+        return None
+    starts = np.r_[0, nl[:-1] + 1]
+    is_hdr = arr[starts] == ord(">")
+    # strict alternation: header, seq, header, seq, ...
+    if not (is_hdr[0::2].all() and not is_hdr[1::2].any()):
+        return None
+    seq_start = starts[1::2]
+    seq_end = nl[1::2]
+    lens = seq_end - seq_start
+    L = int(lens[0])
+    if L == 0 or not (lens == L).all():
+        return None
+    mat = arr[seq_start[:, None] + np.arange(L, dtype=np.int64)[None, :]]
+    if (mat == 0x0D).any():  # CRLF files take the slow path
+        return None
+    return mat
+
+
 def write_fasta(
     path: str | os.PathLike | io.IOBase,
     records: Iterator[FastaRecord] | list[FastaRecord],
