@@ -38,6 +38,11 @@ from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weight
 from sahara_tpu.schemes.types import Scheme
 
 
+# count of chunk active-set splits forced by HARD_CAP overflow (telemetry
+# for tests and the stats block; reset freely)
+_SPLITS = 0
+
+
 @dataclasses.dataclass
 class SearchResult:
     """Located hits: parallel arrays (row-per-hit)."""
@@ -246,22 +251,43 @@ def _run_workq_grouped(
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
 
     _INFLIGHT = 4
-    inflight: list[tuple[dict, np.ndarray, int]] = []
+    inflight: list[tuple] = []
     loc_pending: list[dict | None] = []
 
-    def _drain_one():
-        st, ids_d, ns_g = inflight.pop(0)
+    def _collect_or_split(st, q, a, ids_d, gt, dt, ns_g):
+        """Collect one dispatch; if its buffers overflowed even at the
+        engine's HARD_CAP ceiling (after the doubling retries), degrade
+        instead of failing: halve the ACTIVE query set via the mask —
+        same compiled shapes, no recompile — and search the halves
+        synchronously, recursing until the frontier fits.  Only a SINGLE
+        query whose frontier exceeds HARD_CAP is a hard error."""
+        global _SPLITS
         hits = collect_workq(st)
-        if hits.queue_overflow or hits.hit_overflow:
-            # the engine is exact only when its static buffers held; a
-            # persistent overflow after the doubling retries means hits
-            # were dropped — never return silently-partial results
+        if not (hits.queue_overflow or hits.hit_overflow):
+            loc_pending.append(_locate_flat_hits_begin(index, hits, ns_g, ids_d))
+            return
+        act_idx = np.flatnonzero(a)
+        if len(act_idx) <= 1:
+            # the engine is exact only when its static buffers held; one
+            # query overflowing the ceiling alone means hits were dropped
+            # — never return silently-partial results
             raise RuntimeError(
                 "scheme search overflowed its work buffers after retries "
                 f"(queue_overflow={hits.queue_overflow}, hit_overflow={hits.hit_overflow}); "
-                "the reference text is pathologically repetitive for this capacity"
+                "a single query's frontier exceeds the engine capacity ceiling"
             )
-        loc_pending.append(_locate_flat_hits_begin(index, hits, ns_g, ids_d))
+        _SPLITS += 1
+        for half in np.array_split(act_idx, 2):
+            a2 = np.zeros_like(a)
+            a2[half] = True
+            st2 = dispatch_workq(
+                index, q, gt, edit=edit, active=a2, device_tape=dt, dedup=True,
+                max_hits=max_hits, mesh=mesh,
+            )
+            _collect_or_split(st2, q, a2, ids_d, gt, dt, ns_g)
+
+    def _drain_one():
+        _collect_or_split(*inflight.pop(0))
 
     for start in range(0, nq, chunk_g):
         q = qarr[start : start + chunk_g]
@@ -284,7 +310,7 @@ def _run_workq_grouped(
                 index, q, gt, edit=edit, active=a, device_tape=dt, dedup=True,
                 max_hits=max_hits, mesh=mesh,
             )
-            inflight.append((st, ids, gt.num_searches))
+            inflight.append((st, q, a, ids, gt, dt, gt.num_searches))
     while inflight:
         _drain_one()
     results = [_locate_flat_hits_end(ctx) for ctx in loc_pending]

@@ -64,6 +64,14 @@ MAX_M = 511
 MAX_ERR = 7
 
 _BLK = 512
+
+# Hard per-dispatch queue/hit capacity ceiling (rows).  Beyond this the
+# retry ladder stops growing (an 8M-row queue already costs ~GBs of HBM
+# workspace) and the caller must degrade instead: the grouped driver
+# splits the chunk's ACTIVE query set in halves (same compiled shapes)
+# until the frontier fits (driver._run_workq_grouped).  Module attribute
+# so tests can shrink it to exercise the split path cheaply.
+HARD_CAP = 1 << 23
 _I32_MAX = np.iinfo(np.int32).max
 
 import os as _os
@@ -1000,7 +1008,7 @@ def _quant_cap(x: int) -> int:
     plan hysteresis in ``run_workq_search`` keep recompiles bounded."""
     x = max(int(x), _BLK)
     step = max(_BLK, 1 << (max(x - 1, 1).bit_length() - 3))
-    return min(-(-x // step) * step, 1 << 23)
+    return min(-(-x // step) * step, HARD_CAP)
 
 
 def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> tuple[tuple, int]:
@@ -1254,10 +1262,11 @@ def dispatch_workq(
         mem = _sibling_bootstrap(cap_key)
     use_profile = mem is not None and mem.get("profile") is not None
     if mem is None:
-        q_cap, hq_cap = _pow2_cap(b * q_mult), _pow2_cap(nq_local * hit_mult)
+        q_cap = min(_pow2_cap(b * q_mult), HARD_CAP)
+        hq_cap = min(_pow2_cap(nq_local * hit_mult), HARD_CAP)
         mem = {"q_cap": q_cap, "hq_cap": hq_cap, "profile": None, "plan": None}
     else:
-        q_cap, hq_cap = mem["q_cap"], mem["hq_cap"]
+        q_cap, hq_cap = min(mem["q_cap"], HARD_CAP), min(mem["hq_cap"], HARD_CAP)
     act_host = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -1313,8 +1322,8 @@ def collect_workq(st: dict) -> FlatHits:
             max_live = int(out[4 * hq_cap + 3])
             n_true = int(out[4 * hq_cap + 4])
             profile = out[4 * hq_cap + 8 :]
-        at_cap_limit = (q_ovf_b and st["q_cap"] >= 1 << 23) or (
-            h_ovf_b and st["hq_cap"] >= 1 << 23
+        at_cap_limit = (q_ovf_b and st["q_cap"] >= HARD_CAP) or (
+            h_ovf_b and st["hq_cap"] >= HARD_CAP
         )
         if not (q_ovf_b or h_ovf_b) or st["attempt"] == st["max_retries"] - 1 or at_cap_limit:
             # remember the observed peaks for future calls, quantized to
@@ -1383,9 +1392,9 @@ def collect_workq(st: dict) -> FlatHits:
         growth = 2 if st["attempt"] == 0 else 4
         if q_ovf_b:
             st["use_profile"] = False  # fall back to a flat plan on retry
-            st["q_cap"] = min(max(st["q_cap"] * growth, _pow2_cap(max_live + _BLK)), 1 << 23)
+            st["q_cap"] = min(max(st["q_cap"] * growth, _pow2_cap(max_live + _BLK)), HARD_CAP)
         if h_ovf_b:
-            st["hq_cap"] = min(max(st["hq_cap"] * growth, _pow2_cap(n_true + _BLK)), 1 << 23)
+            st["hq_cap"] = min(max(st["hq_cap"] * growth, _pow2_cap(n_true + _BLK)), HARD_CAP)
         st["attempt"] += 1
         _workq_attempt(st)
 
