@@ -23,6 +23,7 @@ from sahara_tpu.engine.workq import (
     collect_workq,
     dispatch_workq,
     max_chunk_queries,
+    predict_fit_chunk,
     run_workq_search,
     upload_tape,
 )
@@ -246,6 +247,10 @@ def _run_workq_grouped(
     group_tapes = [upload_tape(g, mesh=mesh) for g in groups]
     n_dev = mesh.devices.size if mesh is not None else 1
     chunk = min(chunk, *(max_chunk_queries(g.length, g.num_searches, g.max_errors, edit) for g in groups))
+    # shrink pre-emptively when capacity memory predicts this width's live
+    # frontier would blow HARD_CAP: right-sized dispatches get segmented
+    # plans; the active-set split in _collect_or_split backstops cold keys
+    chunk = min(chunk, *(predict_fit_chunk(index, g, chunk, edit=edit, max_hits=max_hits) for g in groups))
     chunk_g = chunk * n_dev
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)

@@ -1050,6 +1050,39 @@ def plan_from_profile(profile: np.ndarray, main_steps: int, tail_steps: int) -> 
 _PROBE_NQ = 1024
 
 
+def predict_fit_chunk(index, tape, chunk: int, *, edit: bool, dedup: bool = True,
+                      max_hits: int = 0) -> int:
+    """Largest chunk width (by halving ``chunk``) whose predicted
+    live-queue peak fits under HARD_CAP, using capacity memory from
+    sibling keys that differ only in query count.
+
+    Live states scale ~linearly with nq, so a sibling's measured peak
+    (profile max; or its stored q_cap when it only ever overflowed —
+    an UNDERestimate, hence the 0.75 headroom) predicts this width's
+    need.  Right-sizing the dispatch up front keeps it on an efficient
+    segmented plan; the doubling retries and the driver's active-set
+    split remain the backstop for cold keys and wrong predictions."""
+    import os
+
+    _capmem_load()
+    dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "2")) if dedup else 0
+    cap_per_query = 4 * max_hits if max_hits > 0 else 0
+    m = tape.length
+    rest = (tape.num_searches, m, tape.max_errors, phase0_length(tape, edit),
+            edit, dedup_every, cap_per_query, int(index.n))
+    per_q = 0.0
+    for sk, sv in _CAP_MEMORY.items():
+        if len(sk) == 9 and tuple(sk[1:]) == rest:
+            prof = sv.get("profile")
+            peak = int(np.max(prof)) if prof is not None else int(sv["q_cap"])
+            per_q = max(per_q, peak / sk[0])
+    if per_q <= 0:
+        return chunk
+    while chunk > _BLK and per_q * chunk > 0.75 * HARD_CAP:
+        chunk //= 2
+    return chunk
+
+
 def _sibling_bootstrap(cap_key: tuple) -> dict | None:
     """Scaled capacity memory from a sibling workload that differs only in
     query count: live states scale ~linearly with nq, so a scaled profile

@@ -52,3 +52,26 @@ def test_hard_cap_split_is_hit_identical(monkeypatch):
     assert drv._SPLITS > 0, "shrunken HARD_CAP did not force a split"
     for f in ("query_id", "seq_id", "pos", "errors"):
         np.testing.assert_array_equal(getattr(base, f), getattr(split, f))
+
+
+def test_predict_fit_chunk_shrinks_known_blowups():
+    """Capacity memory from any sibling key (same workload, different nq)
+    pre-sizes the dispatch width so the frontier fits under HARD_CAP."""
+    from sahara_tpu.engine.tape import compile_tape
+    from sahara_tpu.schemes import expand, get_generator
+
+    index, _ = _workload()
+    tape = compile_tape(expand(get_generator("optimum").generator(0, 1, 0, 0), 36))
+    # no sibling knowledge: width unchanged
+    workq._CAP_MEMORY.clear()
+    assert workq.predict_fit_chunk(index, tape, 16384, edit=True) == 16384
+    # fabricate a measured sibling: 1024 queries peaked at 2M live rows
+    # (~2k rows/query) -> at the 8M ceiling only ~3k queries fit; the
+    # predictor must halve 16384 down to 2048 (0.75 headroom)
+    ph0 = workq.phase0_length(tape, True)
+    key = (1024, tape.num_searches, 36, 1, ph0, True, 2, 0, int(index.n))
+    prof = np.zeros(8, dtype=np.int64)
+    prof[3] = 2_000_000
+    workq._CAP_MEMORY[key] = {"q_cap": 2 ** 21, "hq_cap": 4096, "profile": prof, "plan": None}
+    assert workq.predict_fit_chunk(index, tape, 16384, edit=True) == 2048
+    workq._CAP_MEMORY.clear()
