@@ -254,6 +254,27 @@ def _rbi_search(args, alphabet, unknown_random_ranks: bool):
     )
     timing.mark("search")
     timing.mark("locate")
+    if getattr(args, "orig_coords", False):
+        # mirror-hit remap (CONFORMANCE.md deviation 4): mirror copies have
+        # seqIds [m, 2m) and reversed-sequence coordinates.  The reported
+        # coordinate for BOTH orientations becomes the original-strand base
+        # aligned to the query's first character: forward hits already start
+        # there; a mirror hit at reversed position p touches original
+        # position L - 1 - p (the alignment's full span is not recoverable
+        # from a located hit, so the start of the reversed alignment — a
+        # single well-defined base — is the coordinate contract).
+        n_orig = host.num_seqs // 2
+        sid = result.seq_id.copy()
+        pos = result.pos.copy()
+        mirror = sid >= n_orig
+        lens = np.asarray(host.seq_lens, dtype=np.int64)
+        pos[mirror] = lens[sid[mirror]] - 1 - pos[mirror]
+        sid[mirror] -= n_orig
+        from sahara_tpu.engine.driver import SearchResult, _merge_results
+
+        result = _merge_results(
+            [SearchResult(result.query_id, sid, pos, result.errors)]
+        )
     n = write_hits(args.output, (result.query_id, result.seq_id, result.pos))
     timing.mark("result")
     timing.print_stats(n_queries=len(queries), n_hits=n)
@@ -316,8 +337,20 @@ def register(subparsers):
 
     p = subparsers.add_parser("rbi-search", help="search for a given pattern")
     _add_search_flags(p, metric=False, reverse=False, limit=False)
+    _add_orig_coords_flag(p)
     p.set_defaults(func=cmd_rbi_search)
 
     p = subparsers.add_parser("rbi-search-dna4", help="search for a given pattern")
     _add_search_flags(p, metric=False, reverse=False, limit=False)
+    _add_orig_coords_flag(p)
     p.set_defaults(func=cmd_rbi_search_dna4)
+
+
+def _add_orig_coords_flag(p):
+    p.add_argument(
+        "--orig_coords", action="store_true",
+        help="map mirror hits (seqId in [m, 2m)) back to original-sequence "
+             "coordinates: seqId -= m, pos = seqLen - 1 - pos (the "
+             "original-strand base aligned to the query's first character; "
+             "forward hits already report that base as their start). "
+             "CONFORMANCE.md deviation 4.")

@@ -39,8 +39,8 @@ from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weight
 from sahara_tpu.schemes.types import Scheme
 
 
-# count of chunk active-set splits forced by HARD_CAP overflow (telemetry
-# for tests and the stats block; reset freely)
+# count of chunk active-set splits forced by HARD_CAP overflow (test
+# telemetry only — cumulative across runs; tests reset it before use)
 _SPLITS = 0
 
 

@@ -1059,9 +1059,13 @@ def predict_fit_chunk(index, tape, chunk: int, *, edit: bool, dedup: bool = True
     Live states scale ~linearly with nq, so a sibling's measured peak
     (profile max; or its stored q_cap when it only ever overflowed —
     an UNDERestimate, hence the 0.75 headroom) predicts this width's
-    need.  Right-sizing the dispatch up front keeps it on an efficient
-    segmented plan; the doubling retries and the driver's active-set
-    split remain the backstop for cold keys and wrong predictions."""
+    need.  The HIT queue scales the same way, so the sibling's hq_cap
+    is folded in too — hit-bound workloads (wide-interval repeat hits)
+    otherwise blow HARD_CAP on the hit side and pay the retry ladder
+    at full width every chunk.  Right-sizing the dispatch up front
+    keeps it on an efficient segmented plan; the doubling retries and
+    the driver's active-set split remain the backstop for cold keys
+    and wrong predictions."""
     import os
 
     _capmem_load()
@@ -1075,6 +1079,7 @@ def predict_fit_chunk(index, tape, chunk: int, *, edit: bool, dedup: bool = True
         if len(sk) == 9 and tuple(sk[1:]) == rest:
             prof = sv.get("profile")
             peak = int(np.max(prof)) if prof is not None else int(sv["q_cap"])
+            peak = max(peak, int(sv["hq_cap"]))
             per_q = max(per_q, peak / sk[0])
     if per_q <= 0:
         return chunk
@@ -1301,6 +1306,12 @@ def dispatch_workq(
     else:
         q_cap, hq_cap = min(mem["q_cap"], HARD_CAP), min(mem["hq_cap"], HARD_CAP)
     act_host = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
+    # half-active dispatches (the driver's HARD_CAP split, late besthits
+    # strata) measure their peaks at reduced load; storing those profiles
+    # under the mask-blind cap_key would seed UNDERSIZED plans for future
+    # full-active dispatches, which then churn through overflow retries.
+    # Only near-full-active runs update capacity memory.
+    store_ok = int(act_host.sum()) >= nq // 2
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -1323,7 +1334,7 @@ def dispatch_workq(
         "main_steps": main_steps, "tail_steps": tail_steps,
         "cap_key": cap_key, "mem": mem, "use_profile": use_profile,
         "q_cap": q_cap, "hq_cap": hq_cap, "max_retries": max_retries, "attempt": 0,
-        "mesh": mesh, "n_dev": n_dev, "nq_local": nq_local,
+        "mesh": mesh, "n_dev": n_dev, "nq_local": nq_local, "store_ok": store_ok,
     }
     _workq_attempt(st)
     return st
@@ -1363,7 +1374,7 @@ def collect_workq(st: dict) -> FlatHits:
             # powers of two to bound the number of compiled variants; the
             # stored values only grow across chunks, so they converge to
             # the workload's true peak and stay there
-            if not _PROFILE_BRANCHES:  # diagnostic runs skip capmem
+            if not _PROFILE_BRANCHES and st.get("store_ok", True):  # diagnostic/low-active runs skip capmem
                 cap_key = st["cap_key"]
                 want_q = _pow2_cap(max_live + _BLK)
                 want_h = _pow2_cap(n_true + _BLK)

@@ -83,6 +83,31 @@ def test_rbi_mirror_seqid_contract(rbi_corpus, tmp_path):
     mirror_pos = len(seqs[sid].seq) - pos - span
     assert (0, sid + m, mirror_pos) in hits, sorted(hits)[:10]
 
+def test_rbi_orig_coords_flag(rbi_corpus, tmp_path):
+    """--orig_coords maps mirror hits to original-sequence coordinates:
+    seqId < m always; the reported base is the original-strand position
+    aligned to the query's first character (for an exact reverse hit of
+    span L at forward position pos: pos + L - 1)."""
+    tmp, ref, seqs = rbi_corpus
+    span = 30
+    sid, pos = 0, 100
+    fwd = seqs[sid].seq[pos : pos + span]
+    rc = fwd.translate(_COMP)[::-1]
+    qpath = tmp_path / "rc.fasta"
+    write_fasta(qpath, [FastaRecord(id="rc0", seq=rc), FastaRecord(id="f0", seq=fwd)])
+    out = tmp_path / "oc_out.txt"
+    assert main(["rbi-search", "-q", str(qpath), "-i", ref + ".rbi.idx",
+                 "-o", str(out), "-e", "0", "-g", "optimum", "--orig_coords"]) == 0
+    hits = _hits(out)
+    m = len(seqs)
+    assert all(s < m for _, s, _ in hits), sorted(hits)[:10]
+    # query 0 (the revcomp read) hits the mirror; remapped coordinate =
+    # L - 1 - mirror_pos = pos + span - 1
+    assert (0, sid, pos + span - 1) in hits, sorted(hits)[:10]
+    # query 1 (the forward read) hits forward with its start coordinate
+    assert (1, sid, pos) in hits, sorted(hits)[:10]
+
+
 def test_mirrored_index_matches_double_table():
     """MirroredBiFMIndex optimization: an rbi-style reverse-closed
     collection indexed WITHOUT the reversed-text table produces identical

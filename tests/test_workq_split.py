@@ -54,6 +54,41 @@ def test_hard_cap_split_is_hit_identical(monkeypatch):
         np.testing.assert_array_equal(getattr(base, f), getattr(split, f))
 
 
+def test_hard_cap_split_is_hit_identical_on_mesh(monkeypatch):
+    """Same degrade-not-fail contract under SPMD: overflow flags OR across
+    devices, so a skewed frontier (one device owning most live states)
+    must drive the same global active-set halving — and converge to the
+    single-chip hit set byte-for-byte."""
+    from sahara_tpu.parallel import data_mesh, replicate_index
+
+    rng = np.random.default_rng(3)
+    unit = rng.integers(1, 5, size=251).astype(np.uint8)
+    ref = np.tile(unit, 100)
+    qs = []
+    for i in range(2048):
+        if i < 256:  # device 0's contiguous slice: repeat-saturated reads
+            p = int(rng.integers(0, len(ref) - 36))
+            q = ref[p : p + 36].copy()
+        else:  # the rest: random reads, tiny frontiers
+            q = rng.integers(1, 5, size=36).astype(np.uint8)
+        at = int(rng.integers(0, 36))
+        q[at] = 1 + (q[at] - 1 + int(rng.integers(1, 4))) % 4
+        qs.append(q)
+    host = build_bifmindex([ref], 6, "d_dna5", rate=16)
+    index = DeviceIndex.from_host(host)
+    kw = dict(k=1, generator_name="optimum", edit=True, mode="all", engine="workq")
+    base = drv.search_queries(index, qs, **kw)
+
+    mesh = data_mesh(8)
+    dev_m = replicate_index(host, mesh)
+    drv._SPLITS = 0
+    monkeypatch.setattr(workq, "HARD_CAP", 512)
+    split = drv.search_queries(dev_m, qs, mesh=mesh, **kw)
+    assert drv._SPLITS > 0, "shrunken HARD_CAP did not force a split on the mesh"
+    for f in ("query_id", "seq_id", "pos", "errors"):
+        np.testing.assert_array_equal(getattr(base, f), getattr(split, f))
+
+
 def test_predict_fit_chunk_shrinks_known_blowups():
     """Capacity memory from any sibling key (same workload, different nq)
     pre-sizes the dispatch width so the frontier fits under HARD_CAP."""
