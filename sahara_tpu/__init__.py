@@ -29,5 +29,16 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ and not _os.environ.get("SAHAR
     try:
         _os.makedirs(_cache, exist_ok=True)
         _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
-    except OSError:
+        # the env var alone is NOT enough under site hooks that import
+        # jax at interpreter boot (jax snapshots its config before this
+        # package runs — the same trap as JAX_PLATFORMS, see
+        # tests/conftest.py); the config update works post-import
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        # cache every compile that takes >=2s (the scan bodies all do);
+        # the default 1s threshold plus explicit-only mode skipped most
+        # entries on some jax versions
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except (OSError, AttributeError):
         pass

@@ -126,29 +126,31 @@ def load_reference_ranked(
     return seqs
 
 
+def format_hit_block(q: np.ndarray, s: np.ndarray, p: np.ndarray) -> str:
+    """Vectorized ``queryId seqId pos`` lines for one hit block (a per-row
+    f-string loop costs ~1.5us/row — minutes at 10^7+ hits)."""
+    if len(q) == 0:
+        return ""
+    cols = np.char.mod("%d", np.stack([q, s, p], axis=1))
+    lines = np.char.add(np.char.add(np.char.add(np.char.add(cols[:, 0], " "), cols[:, 1]), " "), cols[:, 2])
+    return "\n".join(lines.tolist()) + "\n"
+
+
 def write_hits(path, rows) -> int:
     """Write ``queryId seqId pos`` lines (search.cpp:256-261).
 
     ``rows`` is an iterable of (queryId, seqId, pos[, ...]) tuples or a
     3-tuple of parallel numpy arrays (the vectorized form drivers pass at
-    configs[4] scale — a per-row f-string loop costs ~1.5us/row, minutes
-    at 10^7+ hits)."""
+    configs[4] scale)."""
     if (
         isinstance(rows, tuple)
         and len(rows) == 3
         and all(isinstance(c, np.ndarray) for c in rows)
     ):
         q, s, p = rows
-        n = len(q)
-        if n == 0:
-            open(path, "w").close()
-            return 0
-        cols = np.char.mod("%d", np.stack([q, s, p], axis=1))
-        lines = np.char.add(np.char.add(np.char.add(np.char.add(cols[:, 0], " "), cols[:, 1]), " "), cols[:, 2])
         with open(path, "w") as fh:
-            fh.write("\n".join(lines.tolist()))
-            fh.write("\n")
-        return n
+            fh.write(format_hit_block(q, s, p))
+        return len(q)
     n = 0
     with open(path, "w") as fh:
         for query_id, seq_id, pos, *_ in rows:

@@ -51,9 +51,195 @@ def _local_mesh(n_req: int, multihost: bool = False):
     return data_mesh(devices=devs[:n_use])
 
 
+def _try_stream_search(args, alphabet) -> bool:
+    """Large-file fast path: stream FASTA blocks through the engine with
+    parse (reader thread) and hit formatting/writing (writer thread)
+    overlapping the device search, and hits appended per block (VERDICT
+    r4 #4: configs[4] spent 1/3 of its wall on host phases that never
+    overlapped the device).
+
+    Correct because blocks arrive in ascending queryId order and every
+    per-query contract (canonical sort, dedup, besthits, max_hits) is
+    local to a query: concatenating per-block canonical outputs IS the
+    canonical global output.
+
+    Engages only for simple uniform 2-line FASTA files over 128MB
+    (SAHARA_STREAM=1/0 forces/disables), single-index, single-process.
+    Returns False to fall back to the buffered path."""
+    import os as _os
+    import queue as queue_mod
+    import threading
+
+    if getattr(args, "mh_num_processes", 0) and args.mh_num_processes > 1:
+        return False
+    force = _os.environ.get("SAHARA_STREAM", "")
+    if force == "0":
+        return False
+    try:
+        fsize = _os.path.getsize(args.query)
+    except OSError:
+        return False
+    if force != "1" and fsize < (128 << 20):
+        return False
+    from sahara_tpu.index.shard import peek_index_kind
+    from sahara_tpu.io.fasta import NotSimpleFasta, iter_fasta_seq_matrix_blocks
+
+    if not _os.path.exists(args.index):
+        raise SaharaError(f"no valid index path at {args.index}")
+    if peek_index_kind(args.index) == "sharded":
+        return False  # the sharded driver has its own (resident) fast path
+    gen = iter_fasta_seq_matrix_blocks(args.query)
+    try:
+        first_mat = next(gen)
+    except (NotSimpleFasta, StopIteration):
+        return False
+
+    timing = Timings()
+    timing.mark("ld queries")
+    print("config:")
+    print(f"  query:               {args.query}")
+    print(f"  index:               {args.index}")
+    print(f"  generator:           {args.generator}")
+    print(f"  dynamic expansion:   {args.dynamic_generator}")
+    print(f"  allowed errors:      {args.errors}")
+    print(f"  reverse complements: {not args.no_reverse}")
+    print(f"  search mode:         {args.search_mode}")
+    print(f"  max hits:            {args.max_hits}")
+    print(f"  output path:         {args.output}")
+    print("  streaming:           True")
+
+    host = load_index(args.index)
+    mesh = _local_mesh(getattr(args, "devices", 0))
+    if mesh is not None:
+        from sahara_tpu.parallel.mesh import replicate_index
+
+        print(f"devices:             {mesh.devices.size}")
+        index = replicate_index(host, mesh)
+    else:
+        index = DeviceIndex.from_host(host)
+    timing.mark("ld index")
+
+    from sahara_tpu.alphabet import INVALID_RANK
+    from sahara_tpu.cli.common import format_hit_block
+
+    add_rc = not args.no_reverse
+    per_read = 2 if add_rc else 1
+    limit = args.limit_queries or 0
+    stop = threading.Event()
+    blocks: queue_mod.Queue = queue_mod.Queue(maxsize=2)
+    lines: queue_mod.Queue = queue_mod.Queue(maxsize=4)
+
+    def _rank_block(mat):
+        ranks = alphabet.char_to_rank_table[mat]
+        bad_r, bad_c = np.nonzero(ranks == INVALID_RANK)
+        if len(bad_r):
+            i, pos = int(bad_r[0]), int(bad_c[0])
+            ch = int(mat[i, pos])
+            raise SaharaError(
+                f"query has invalid character at position {pos} '{chr(ch)}'({ch:x})"
+            )
+        if not add_rc:
+            return ranks
+        rc = alphabet.complement[ranks[:, ::-1]]
+        out = np.empty((2 * len(ranks), ranks.shape[1]), dtype=np.uint8)
+        out[0::2] = ranks
+        out[1::2] = rc
+        return out
+
+    def reader():
+        base = 0
+        try:
+            b0 = _rank_block(first_mat)
+            blocks.put((base, b0))
+            base += len(b0)
+            for mat in gen:
+                if stop.is_set() or (limit and base >= limit):
+                    break
+                b = _rank_block(mat)
+                blocks.put((base, b))
+                base += len(b)
+            blocks.put(None)
+        except Exception as e:  # surfaced on the main thread
+            blocks.put(e)
+
+    wr_err: list[Exception] = []
+
+    def writer():
+        try:
+            with open(args.output, "w") as fh:
+                while True:
+                    item = lines.get()
+                    if item is None:
+                        return
+                    fh.write(item)
+        except Exception as e:
+            wr_err.append(e)
+
+    rt = threading.Thread(target=reader, daemon=True)
+    wt = threading.Thread(target=writer, daemon=True)
+    rt.start()
+    wt.start()
+
+    edit = args.distance_metric == "lev"
+    kw = dict(
+        k=args.errors, generator_name=args.generator, edit=edit,
+        mode=args.search_mode, max_hits=args.max_hits,
+        dynamic=args.dynamic_generator, engine=getattr(args, "engine", "auto"),
+    )
+    if mesh is not None:
+        kw["mesh"] = mesh
+    n_queries = 0
+    n_hits = 0
+    try:
+        while True:
+            item = blocks.get()
+            if item is None:
+                break
+            if isinstance(item, NotSimpleFasta):
+                # mid-file shape violation: abort and re-run buffered
+                stop.set()
+                lines.put(None)
+                wt.join()
+                return False
+            if isinstance(item, Exception):
+                raise item
+            base, block = item
+            if limit and base + len(block) > limit:
+                block = block[: limit - base]
+                stop.set()
+            if len(block) == 0:
+                continue
+            res = search_queries(
+                index, block,
+                query_ids=np.arange(base, base + len(block), dtype=np.int64), **kw,
+            )
+            n_queries += len(block)
+            n_hits += len(res.query_id)
+            lines.put(format_hit_block(res.query_id, res.seq_id, res.pos))
+            if limit and base + len(block) >= limit:
+                stop.set()
+                break
+    finally:
+        stop.set()
+        lines.put(None)
+        wt.join()
+    if wr_err:
+        raise wr_err[0]
+    fwd = n_queries // per_read
+    print(f"fwd queries: {fwd}")
+    print(f"bwd queries: {n_queries - fwd}")
+    timing.mark("search")
+    timing.mark("locate")
+    timing.mark("result")
+    timing.print_stats(n_queries=n_queries, n_hits=n_hits)
+    return True
+
+
 def cmd_search(args):
     sigma = peek_sigma(args.index)
     alphabet = by_sigma(sigma)  # search.cpp:284-287 dispatch
+    if _try_stream_search(args, alphabet):
+        return
     timing = Timings()
 
     # multi-host bring-up (TPU-native extension; the reference is

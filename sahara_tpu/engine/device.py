@@ -75,10 +75,22 @@ class DeviceIndex:
 
     @staticmethod
     def from_host(
-        index: FMIndex, device=None, sharding=None, build_lut: bool = True
+        index: FMIndex, device=None, sharding=None, build_lut: bool = True,
+        include_rev: bool = True,
     ) -> "DeviceIndex":
         """``build_lut=False`` skips the j-mer seed table (~1s host build +
-        8MB HBM) for workloads that will never run the SV engine."""
+        8MB HBM) for workloads that will never run the SV engine.
+
+        ``include_rev=False`` drops the reversed-text occ table from the
+        upload (rev_rows=0: the view is NOT bidirectional and scheme
+        engines will refuse it).  The seed-and-verify engine only ever
+        ranks the FORWARD table (seed scan, LF-walk locate) and verifies
+        against the packed text, so an SV-only view is ~35% smaller —
+        at interval-shard scale that lets multiple shards stay HBM-
+        resident instead of swapping multi-GB tables through the host
+        link per pass (the dominant cost of BASELINE configs[3] through
+        a tunneled device: H2D measured ~45MB/s, ~150s per 5.3GB shard
+        swap vs ~5s of actual search)."""
         if index.n >= 2**31:
             raise ValueError(
                 "single-device index limited to text < 2^31 positions; build an "
@@ -98,7 +110,7 @@ class DeviceIndex:
         w = index.occ.shape[0]
         wp = -(-w // fold) * fold  # padded word count (shared fwd/rev offset)
         mirrored = bool(getattr(index, "mirrored", False))
-        if isinstance(index, BiFMIndex) and index.occ_rev is not None and not mirrored:
+        if isinstance(index, BiFMIndex) and index.occ_rev is not None and not mirrored and include_rev:
             occ = put(
                 np.concatenate(
                     [

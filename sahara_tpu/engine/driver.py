@@ -447,6 +447,62 @@ def _besthits_filter(result: SearchResult) -> SearchResult:
     )
 
 
+def _shard_to_global(res: SearchResult, sharded, i: int) -> SearchResult:
+    gid = sharded.seq_gid[i][res.seq_id]
+    pos = res.pos + sharded.seq_off[i][res.seq_id]
+    return SearchResult(res.query_id, gid.astype(np.int64), pos.astype(np.int64), res.errors)
+
+
+def _dedup_windowed(merged: SearchResult, sharded) -> SearchResult:
+    """Hits inside a window overlap appear once per window: keep one."""
+    if not (len(sharded.windowed_gids) and len(merged.query_id)):
+        return merged
+    windowed = np.isin(merged.seq_id, sharded.windowed_gids)
+    rows = np.stack([merged.query_id, merged.seq_id, merged.pos, merged.errors], axis=1)
+    _, first = np.unique(rows, axis=0, return_index=True)
+    keep_dup = np.zeros(len(rows), dtype=bool)
+    keep_dup[first] = True
+    keep = keep_dup | ~windowed
+    return SearchResult(
+        merged.query_id[keep], merged.seq_id[keep], merged.pos[keep], merged.errors[keep]
+    )
+
+
+def _sv_resident_devices(sharded, verbose_cb=None) -> list | None:
+    """HBM-resident SV-only views of every shard (forward occ + sampled SA
+    + packed text, NO reverse table), built once and cached on the
+    ShardedIndex.  Returns None when they would not fit the device pool."""
+    from sahara_tpu.engine.device import DeviceIndex
+
+    devs = getattr(sharded, "_resident_devs", None)
+    if devs is not None:
+        return devs
+
+    def _sv_bytes(host) -> int:
+        b = host.occ.nbytes + host.sampled.nbytes
+        b += host.sample_seq.nbytes + host.sample_pos.nbytes
+        if host.text4 is not None:
+            b += host.text4.nbytes
+        return b + (8 << 20)  # j-mer lut
+
+    # JAX preallocates ~75% of HBM (12GB on v5e); all resident views plus
+    # the engine's workspace must fit that pool
+    import os
+
+    budget = int(float(os.environ.get("SAHARA_HBM_BUDGET", 9.5e9)))
+    total = sum(_sv_bytes(h) for h in sharded.shards)
+    if total > budget:
+        return None
+    if verbose_cb:
+        verbose_cb(
+            f"resident SV views: {sharded.num_shards} shards, "
+            f"{total / 1e9:.1f}GB (no shard swapping)"
+        )
+    devs = [DeviceIndex.from_host(h, include_rev=False) for h in sharded.shards]
+    sharded._resident_devs = devs
+    return devs
+
+
 def search_queries_sharded(
     sharded,
     queries: list[np.ndarray],
@@ -455,33 +511,49 @@ def search_queries_sharded(
     verbose_cb=None,
     **kw,
 ) -> SearchResult:
-    """Search against an interval-sharded index (index/shard.py): shards
-    are searched sequentially through HBM, per-shard hits map back through
-    the (global seqId, window offset) tables, window-duplicate hits are
-    merged, output is the canonical global order.
+    """Search against an interval-sharded index (index/shard.py): per-shard
+    hits map back through the (global seqId, window offset) tables,
+    window-duplicate hits are merged, output is the canonical global order.
 
-    The next shard's upload (host->HBM transfer + j-mer table build —
-    tens of seconds at multi-GB scale) is PREFETCHED on a worker thread
-    while the current shard searches, whenever two shards fit in HBM
-    together."""
+    Two regimes:
+
+    - **Resident SV** (the fast path): when every shard carries a text
+      store, the workload is seed-and-verify-eligible, and the SV-only
+      device views (forward occ + sampled SA + packed text — no reverse
+      table, ~35% smaller) of ALL shards fit HBM together, each shard is
+      uploaded ONCE and stays resident.  Shard swapping — H2D of multi-GB
+      occ tables through the host link, measured ~45MB/s through the
+      tunnel and ~75% of the configs[3] wall clock in rounds 3-4 — is
+      eliminated entirely.  Repeat-saturated fallback queries (PART_CAP)
+      are deferred: the full bidirectional index for an affected shard is
+      built AFTER the resident pass (residents freed first) and searched
+      with the scheme engine.
+    - **Swap** (the general path): shards are searched sequentially
+      through HBM; the next shard's host-side preparation overlaps the
+      current search on a worker thread."""
     from concurrent.futures import ThreadPoolExecutor
 
     from sahara_tpu.engine.device import DeviceIndex
+    from sahara_tpu.engine.seedverify import plan_parts
 
-    def _est_bytes(host) -> int:
-        b = host.occ.nbytes * 2 + host.sampled.nbytes
-        if host.text4 is not None:
-            b += host.text4.nbytes
-        return b
-
-    max_pair = max(
-        (_est_bytes(a) + _est_bytes(b) for a, b in zip(sharded.shards, sharded.shards[1:])),
-        default=0,
+    k = kw.get("k", 0)
+    mode = kw.get("mode", "all")
+    engine = kw.get("engine", "auto")
+    lengths = {len(q) for q in queries}
+    sv_ok = (
+        len(lengths) == 1
+        and engine in ("auto", "sv")
+        and mode in ("all", "besthits")
+        and k <= 7
+        and all(h.text4 is not None for h in sharded.shards)
+        and plan_parts(next(iter(lengths)), k) is not None
     )
-    # JAX preallocates ~75% of HBM (12GB on v5e); two resident shards plus
-    # the engine's workspace must fit that pool — 9.2GB pairs OOM'd at 2.5GB
-    # total reference, so the budget is conservative
-    prefetch = sharded.num_shards > 1 and max_pair < 8_000_000_000
+    if sv_ok:
+        devs = _sv_resident_devices(sharded, verbose_cb)
+        if devs is not None:
+            return _search_sharded_resident(
+                sharded, devs, queries, query_ids=query_ids, verbose_cb=verbose_cb, **kw
+            )
 
     parts: list[SearchResult] = []
     with ThreadPoolExecutor(1) as ex:
@@ -490,28 +562,94 @@ def search_queries_sharded(
             if verbose_cb:
                 verbose_cb(f"shard {i + 1}/{sharded.num_shards}: n={host.n}")
             dev = fut.result()
-            if prefetch and i + 1 < sharded.num_shards:
-                fut = ex.submit(DeviceIndex.from_host, sharded.shards[i + 1])
+            # device_put is ASYNC: block until the multi-GB H2D completes
+            # before dispatching searches, or every chunk dispatch queues
+            # behind transfer fragments (measured 20x per-chunk slowdown)
+            import jax
+
+            jax.block_until_ready(dev.occ)
             res = search_queries(dev, queries, query_ids=query_ids, verbose_cb=verbose_cb, **kw)
             del dev  # free this shard's HBM
-            if not prefetch and i + 1 < sharded.num_shards:
+            if i + 1 < sharded.num_shards:
                 fut = ex.submit(DeviceIndex.from_host, sharded.shards[i + 1])
-            gid = sharded.seq_gid[i][res.seq_id]
-            pos = res.pos + sharded.seq_off[i][res.seq_id]
-            parts.append(SearchResult(res.query_id, gid.astype(np.int64), pos.astype(np.int64), res.errors))
-    merged = _merge_results(parts)
-    if len(sharded.windowed_gids) and len(merged.query_id):
-        # hits inside a window overlap appear once per window: keep one
-        windowed = np.isin(merged.seq_id, sharded.windowed_gids)
-        rows = np.stack([merged.query_id, merged.seq_id, merged.pos, merged.errors], axis=1)
-        _, first = np.unique(rows, axis=0, return_index=True)
-        keep_dup = np.zeros(len(rows), dtype=bool)
-        keep_dup[first] = True
-        keep = keep_dup | ~windowed
-        merged = SearchResult(
-            merged.query_id[keep], merged.seq_id[keep], merged.pos[keep], merged.errors[keep]
-        )
+            parts.append(_shard_to_global(res, sharded, i))
+    merged = _dedup_windowed(_merge_results(parts), sharded)
+    if mode == "besthits":
+        # per-shard besthits keeps per-shard minima; the global minimum per
+        # query is the minimum of those — re-filter after the merge
+        merged = _besthits_filter(merged)
     return merged
+
+
+def _search_sharded_resident(
+    sharded,
+    devs: list,
+    queries: list[np.ndarray],
+    *,
+    query_ids: np.ndarray | None = None,
+    verbose_cb=None,
+    k: int = 0,
+    generator_name: str = "h2-k2",
+    edit: bool = True,
+    mode: str = "all",
+    max_hits: int = 0,
+    dynamic: bool = False,
+    chunk: int = 16384,
+    sv_part_cap: int | None = None,
+    **_ignored,
+) -> SearchResult:
+    """Resident-SV sharded search (see search_queries_sharded)."""
+    from sahara_tpu.engine.device import DeviceIndex
+
+    qarr = np.stack(queries).astype(np.int32, copy=False)
+    m = qarr.shape[1]
+    qids = (
+        np.arange(len(queries), dtype=np.int64)
+        if query_ids is None
+        else np.asarray(query_ids, dtype=np.int64)
+    )
+    parts: list[SearchResult] = []
+    fb_by_shard: list[np.ndarray] = []
+    for i in range(len(devs)):
+        if verbose_cb:
+            verbose_cb(f"shard {i + 1}/{sharded.num_shards} (resident): n={devs[i].n}")
+        res, fb = _run_sv_grouped(
+            devs[i], qarr, qids, k=k, edit=edit, active=None, max_hits=0,
+            chunk=chunk, part_cap=sv_part_cap,
+        )
+        fb_by_shard.append(fb)
+        parts.append(_shard_to_global(res, sharded, i))
+    if any(fb.any() for fb in fb_by_shard):
+        # repeat-saturated queries: exact re-search through the scheme
+        # engine against the FULL bidirectional index of each affected
+        # shard — residents are dropped first so the 2x-size index fits
+        sharded._resident_devs = None
+        devs = None
+        for i, fb in enumerate(fb_by_shard):
+            if not fb.any():
+                continue
+            if verbose_cb:
+                verbose_cb(
+                    f"shard {i + 1}: {int(fb.sum())} repeat-saturated queries "
+                    "re-searched via the scheme engine (full index swap-in)"
+                )
+            full = DeviceIndex.from_host(sharded.shards[i])
+            ess = load_scheme(
+                generator_name, 0, k, m, edit=edit, sigma=full.sigma,
+                n_text=full.n, dynamic=dynamic,
+            )
+            if not edit:
+                ess = limit_to_hamming(ess)
+            res_fb = _run_workq_grouped(
+                full, qarr, compile_tape(ess), qids, edit=edit, active=fb,
+                max_hits=0, chunk=chunk,
+            )
+            del full
+            parts.append(_shard_to_global(res_fb, sharded, i))
+    merged = _dedup_windowed(_merge_results(parts), sharded)
+    if mode == "besthits":
+        merged = _besthits_filter(merged)
+    return _cap_hits_per_query(merged, max_hits)
 
 
 def _merge_results(results: list[SearchResult]) -> SearchResult:
@@ -578,18 +716,31 @@ def search_queries(
     sigma = index.sigma
     results: list[SearchResult] = []
 
-    # bucket queries by length (reference assumes uniform length)
-    by_len: dict[int, list[int]] = {}
-    for i, q in enumerate(queries):
-        by_len.setdefault(len(q), []).append(i)
+    # bucket queries by length (reference assumes uniform length).  A 2-D
+    # ndarray is accepted directly as one uniform bucket — the streaming
+    # CLI path feeds parsed blocks this way, skipping the per-row list
+    # round-trip and re-stack entirely.
+    by_len: dict[int, list[int] | None] = {}
+    if isinstance(queries, np.ndarray):
+        if queries.ndim != 2:
+            raise ValueError("matrix queries must be 2-D [nq, m]")
+        if queries.shape[1]:
+            by_len[queries.shape[1]] = None
+    else:
+        for i, q in enumerate(queries):
+            by_len.setdefault(len(q), []).append(i)
 
     for length, idxs in sorted(by_len.items()):
         if length == 0:
             continue
-        # one vectorized cast — a per-query asarray(dtype=int32) costs ~24us
-        # of Python overhead each, ~3s per pass at 131k queries
-        qarr = np.stack([queries[i] for i in idxs]).astype(np.int32, copy=False)
-        qids = np.asarray(idxs, dtype=np.int64)
+        if idxs is None:
+            qarr = np.ascontiguousarray(queries, dtype=np.int32)
+            qids = np.arange(len(queries), dtype=np.int64)
+        else:
+            # one vectorized cast — a per-query asarray(dtype=int32) costs ~24us
+            # of Python overhead each, ~3s per pass at 131k queries
+            qarr = np.stack([queries[i] for i in idxs]).astype(np.int32, copy=False)
+            qids = np.asarray(idxs, dtype=np.int64)
         if query_ids is not None:
             qids = np.asarray(query_ids, dtype=np.int64)[qids]
 
@@ -609,7 +760,7 @@ def search_queries(
         if verbose_cb:
             eng_name = "seed-verify" if use_sv else ("workq" if engine == "auto" else engine)
             where = f"mesh[{mesh.devices.size}]" if use_mesh else "single-device"
-            verbose_cb(f"engine: {eng_name} ({where}, m={length}, {len(idxs)} queries)")
+            verbose_cb(f"engine: {eng_name} ({where}, m={length}, {len(qarr)} queries)")
         if use_sv:
             if use_mesh:
                 res, fallback = _run_sv_mesh(
@@ -681,7 +832,7 @@ def search_queries(
         elif mode == "besthits":
             # strata j = 0..k: stop per query at the first stratum with hits
             # (search_ng21::search_best semantics, search.cpp:234-240)
-            active = np.ones(len(idxs), dtype=bool)
+            active = np.ones(len(qarr), dtype=bool)
             for j in range(k + 1):
                 if not active.any():
                     break

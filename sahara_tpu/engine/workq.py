@@ -327,7 +327,7 @@ def main_tail_steps(m: int, ph0: int, k: int, edit: bool) -> tuple[int, int]:
     jax.jit,
     static_argnames=(
         "edit", "plan", "tail_cap", "hq_cap", "m", "ns", "k", "ph0", "dedup_every",
-        "cap_per_query", "packed",
+        "cap_per_query", "packed", "e_plan", "e_tail_cap",
     ),
 )
 def workq_search(
@@ -351,10 +351,28 @@ def workq_search(
     dedup_every: int = 0,
     cap_per_query: int = 0,
     packed: bool = True,
+    e_plan: tuple[int, ...] = (),  # per-segment exact-lane caps ((), = lane off)
+    e_tail_cap: int = 0,
 ):
-    """Returns one packed int32 array [4*hq_cap + 8 + 1 + total_steps]:
+    """Returns one packed int32 array [4*hq_cap + 8 + 1 + total_steps
+    (+ total_steps exact-lane profile when the lane is on)]:
     h_lane | h_lb | h_sz | h_err | (n_hits, q_overflow, h_overflow,
-    max_live, pad*4) | live profile (seed count + per-step live totals).
+    max_live, pad*4) | live profile (seed count + per-step live totals)
+    | exact-lane occupancy per step.
+
+    **Exact lane** (``e_tail_cap`` > 0): a state whose error count has
+    reached its search's FINAL upper bound can never branch again — scheme
+    bounds are monotone (isValid), so every future step admits only the
+    exact-match extension.  The branch histogram probe measured ~49% of
+    live state-steps in this regime at bench shapes (82% late in the
+    tape).  Such states migrate at segment boundaries into a second queue
+    that steps ph0-style (one tape-word gather + one fused occ gather,
+    no candidate enumeration / compaction / dedup / product gathers) —
+    roughly 60% of a full step's per-row cost saved.  Hit multiplicity is
+    unchanged (the exact extension is precisely the single branch the
+    full step would have produced); with dedup on, migrated states leave
+    the dedup table's reach, which can only increase duplicate hits the
+    driver's merge already drops.
 
     ``cap_per_query`` > 0 stops expanding a query's lanes once it has
     emitted that many hit intervals (the in-search ``search_n`` work bound,
@@ -381,6 +399,12 @@ def workq_search(
     assert tail_cap % _BLK == 0
     assert tail_cap <= 2**23 and hq_cap <= 2**23
     assert hq_cap % _BLK == 0
+    exact = e_tail_cap > 0
+    if exact:
+        assert len(e_plan) == len(plan)
+        assert e_tail_cap % _BLK == 0 and e_tail_cap <= 2**23
+        for c in e_plan:
+            assert c % _BLK == 0 and c <= 2**23
 
     occ, c_arr, rev_rows = index.occ, index.c_arr, index.rev_word_off
     tri = jnp.triu(jnp.ones((_BLK, _BLK), dtype=jnp.float32))
@@ -465,6 +489,168 @@ def workq_search(
         jnp.where(live0, jnp.take(meta0, sel0c), 0),
     )
     q_ovf = seed_total > cap0
+
+    # ---------------- exact lane (see docstring) -------------------------
+    def _i32(x: int) -> jnp.ndarray:
+        return jnp.int32(x - (1 << 32) if x >= 2**31 else x)
+
+    if exact:
+        final_hi = t_hi[:, -1]  # [ns] — per-search final (max) upper bound
+        _keep_mask = _i32(
+            ((L.err_mask << L.err_shift) | (L.s_mask << L.s_shift) | (L.q_mask << L.q_shift))
+            & 0xFFFFFFFF
+        )
+
+    def _decode_e(e_meta):
+        d = (e_meta >> L.d_shift) & L.d_mask
+        s_id = (e_meta >> L.s_shift) & L.s_mask if ns > 1 else jnp.zeros_like(e_meta)
+        q_id = (e_meta >> L.q_shift) & L.q_mask
+        return d, s_id, q_id
+
+    def exact_step(e_state):
+        """Advance every live exact-lane row by its single match branch
+        (ph0-style math at per-row depth).  Dead rows ride until the next
+        boundary compaction."""
+        e_lb, e_lbr, e_sz, e_meta = e_state
+        alive = e_sz > 0
+        d, s_id, q_id = _decode_e(e_meta)
+        lane = q_id * ns + s_id
+        dc = jnp.minimum(d, m - 1)
+        word = lax.optimization_barrier(jnp.take(lane_tape, lane * m + dc))
+        side = word & 1
+        qc = jnp.clip((word >> 9) & 0xFF, 0, sigma - 1)
+        primary = jnp.where(side == 1, e_lbr, e_lb)
+        secondary = jnp.where(side == 1, e_lb, e_lbr)
+        r_lo, r_hi = fused_rank(primary, e_sz, side * rev_rows)
+        cnt = r_hi - r_lo
+        c = qc[:, None]
+        eq = sym_iota == c
+        newp = jnp.where(eq, c_arr[None, :sigma] + r_lo, 0).sum(axis=1)
+        news = secondary + jnp.where(sym_iota < c, cnt, 0).sum(axis=1)
+        nsz = jnp.maximum(jnp.where(eq, cnt, 0).sum(axis=1), 0)
+        nsz = jnp.where(alive, nsz, 0)
+        new_lb = jnp.where(side == 1, news, newp)
+        new_lbr = jnp.where(side == 1, newp, news)
+        if edit:
+            other_bit = jnp.where(side == 0, _EDGE_R, _EDGE_L)
+            new_opf = e_meta & L.opf_mask & other_bit
+        else:
+            new_opf = jnp.zeros_like(e_meta)
+        new_meta = (e_meta & _keep_mask) | new_opf | (jnp.minimum(d + 1, L.d_mask) << L.d_shift)
+        new_meta = jnp.where(alive, new_meta, 0)
+        return (
+            jnp.where(alive, new_lb, 0),
+            jnp.where(alive, new_lbr, 0),
+            nsz,
+            new_meta,
+        )
+
+    def migrate(state, e_state, e_count, q_ovf, cap_new, e_cap_new):
+        """Segment boundary: move saturated B rows (err at their search's
+        final bound) into the exact lane; recompact both queues into the
+        next segment's capacities.  Per-column takes only (the stacked
+        row-gather pattern miscompiles on the axon backend)."""
+        q_lb, q_lbr, q_sz, meta = state
+        cap_old = q_lb.shape[0]
+        err = (meta >> L.err_shift) & L.err_mask
+        s_id = (meta >> L.s_shift) & L.s_mask if ns > 1 else jnp.zeros_like(meta)
+        alive = q_sz > 0
+        fhi = jnp.take(final_hi, s_id)
+        sat = alive & (err >= fhi)
+        keep = alive & ~sat
+
+        # B recompaction (keep-only) into cap_new
+        kpos, ktot = _positions(keep, tri)
+        iota_b = jnp.arange(cap_old, dtype=jnp.int32)
+        sel_b = (
+            jnp.zeros(cap_new, dtype=jnp.int32)
+            .at[jnp.where(keep, kpos, cap_new)]
+            .set(iota_b, mode="drop")
+        )
+        sel_b = lax.optimization_barrier(sel_b)
+        live_b = jnp.arange(cap_new, dtype=jnp.int32) < jnp.minimum(ktot, cap_new)
+        q_ovf = q_ovf | (ktot > cap_new)
+        new_state = tuple(
+            jnp.where(live_b, jnp.take(v, jnp.minimum(sel_b, cap_old - 1)), 0)
+            for v in (q_lb, q_lbr, q_sz, meta)
+        )
+
+        # E recompaction (drop dead) + saturated append into e_cap_new
+        e_lb, e_lbr, e_sz, e_meta = e_state
+        e_cap_old = e_lb.shape[0]
+        alive_e = e_sz > 0
+        epos, etot = _positions(alive_e, tri)
+        iota_e = jnp.arange(e_cap_old, dtype=jnp.int32)
+        sel_e = (
+            jnp.full(e_cap_new, -1, dtype=jnp.int32)
+            .at[jnp.where(alive_e, epos, e_cap_new)]
+            .set(iota_e, mode="drop")
+        )
+        spos, stot = _positions(sat, tri)
+        sel_s = (
+            jnp.full(e_cap_new, -1, dtype=jnp.int32)
+            .at[jnp.where(sat, etot + spos, e_cap_new)]
+            .set(iota_b, mode="drop")
+        )
+        sel_e = lax.optimization_barrier(sel_e)
+        sel_s = lax.optimization_barrier(sel_s)
+        from_e = sel_e >= 0
+        from_b = sel_s >= 0
+        sel_ec = jnp.minimum(jnp.maximum(sel_e, 0), e_cap_old - 1)
+        sel_sc = jnp.minimum(jnp.maximum(sel_s, 0), cap_old - 1)
+        new_e = tuple(
+            jnp.where(
+                from_e,
+                jnp.take(ev, sel_ec),
+                jnp.where(from_b, jnp.take(bv, sel_sc), 0),
+            )
+            for ev, bv in ((e_lb, q_lb), (e_lbr, q_lbr), (e_sz, q_sz), (e_meta, meta))
+        )
+        q_ovf = q_ovf | (etot + stot > e_cap_new)
+        e_count = jnp.minimum(etot + stot, e_cap_new)
+        return new_state, new_e, e_count, q_ovf
+
+    def make_e_drain(e_cap):
+        def e_drain(e_state, hits, n_hits, n_true, h_ovf, hq_counts):
+            """Tail-step hit drain for the exact lane (mirrors the B
+            drain: finished rows emit, done rows die)."""
+            e_lb, e_lbr, e_sz, e_meta = e_state
+            alive = e_sz > 0
+            d, s_id, q_id = _decode_e(e_meta)
+            if cap_per_query:
+                alive = alive & (jnp.take(hq_counts, q_id) < cap_per_query)
+            opf = e_meta & L.opf_mask
+            done = alive & (d >= m)
+            finished = done & ((opf & _EDGES) == 0)
+            fpos, ftot = _positions(finished, tri)
+            fdest = jnp.where(finished, n_hits + fpos, hq_cap)
+            row_ids = jnp.arange(e_cap, dtype=jnp.int32)
+            sel_h = (
+                jnp.full(hq_cap, e_cap, dtype=jnp.int32)
+                .at[fdest]
+                .set(row_ids, mode="drop")
+            )
+            got = sel_h < e_cap
+            sel_hc = jnp.minimum(sel_h, e_cap - 1)
+            slot_new = jnp.arange(hq_cap, dtype=jnp.int32) >= n_hits
+            upd = slot_new & got
+            lane = q_id * ns + s_id
+            err = (e_meta >> L.err_shift) & L.err_mask
+            h_lane, h_lb, h_sz, h_err = hits
+            h_lane = jnp.where(upd, jnp.take(lane, sel_hc), h_lane)
+            h_lb = jnp.where(upd, jnp.take(e_lb, sel_hc), h_lb)
+            h_sz = jnp.where(upd, jnp.take(e_sz, sel_hc), h_sz)
+            h_err = jnp.where(upd, jnp.take(err, sel_hc), h_err)
+            hits = (h_lane, h_lb, h_sz, h_err)
+            h_ovf = h_ovf | (n_hits + ftot > hq_cap)
+            n_true = n_true + ftot
+            n_hits = jnp.minimum(n_hits + ftot, hq_cap)
+            if cap_per_query:
+                hq_counts = hq_counts.at[q_id].add(finished.astype(jnp.int32), mode="drop")
+            e_sz = jnp.where(done | ~alive, 0, e_sz)
+            return (e_lb, e_lbr, e_sz, e_meta), hits, n_hits, n_true, h_ovf, hq_counts
+
+        return e_drain
 
     def make_step(cap, drain):
         def expand_step(state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, t=None):
@@ -853,40 +1039,63 @@ def workq_search(
 
     hq_counts0 = jnp.zeros(nq, dtype=jnp.int32)
     live_profiles = [seed_total.reshape(1)]
+    e_profiles = []
     max_live = max_live0
+    e_state = tuple(jnp.zeros(_BLK, dtype=jnp.int32) for _ in range(4))
+    e_count = jnp.int32(0)
     step_base = 0  # global step index feeds the dedup cadence
-    for steps, cap in plan:
-        state, q_ovf = _resize(state, cap, q_ovf)
+    for seg_i, (steps, cap) in enumerate(plan):
+        if exact:
+            state, e_state, e_count, q_ovf = migrate(
+                state, e_state, e_count, q_ovf, cap, e_plan[seg_i]
+            )
+            e_profiles.append(jnp.broadcast_to(e_count.reshape(1), (steps,)))
+        else:
+            state, q_ovf = _resize(state, cap, q_ovf)
         step_fn = make_step(cap, drain=False)
 
         def main_body(carry, t):
-            state, q_ovf, max_live = carry
+            state, e_state, q_ovf, max_live = carry
             state, _, _, _, q_ovf, _, max_live, _, total = step_fn(
                 state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0, t
             )
-            return (state, q_ovf, max_live), total
+            if exact:
+                e_state = exact_step(e_state)
+            return (state, e_state, q_ovf, max_live), total
 
-        (state, q_ovf, max_live), lives = lax.scan(
+        (state, e_state, q_ovf, max_live), lives = lax.scan(
             main_body,
-            (state, q_ovf, max_live),
+            (state, e_state, q_ovf, max_live),
             jnp.arange(step_base, step_base + steps, dtype=jnp.int32),
         )
         live_profiles.append(lives)
         step_base += steps
 
-    state, q_ovf = _resize(state, tail_cap, q_ovf)
+    if exact:
+        state, e_state, e_count, q_ovf = migrate(
+            state, e_state, e_count, q_ovf, tail_cap, e_tail_cap
+        )
+        e_profiles.append(jnp.broadcast_to(e_count.reshape(1), (tail_steps,)))
+        e_drain_fn = make_e_drain(e_tail_cap)
+    else:
+        state, q_ovf = _resize(state, tail_cap, q_ovf)
     tail_fn = make_step(tail_cap, drain=True)
 
     def tail_body(carry, t):
-        state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts = carry
+        state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts = carry
         state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, total = tail_fn(
             state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, t
         )
-        return (state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts), total
+        if exact:
+            e_state, hits, n_hits, n_true, h_ovf, hq_counts = e_drain_fn(
+                e_state, hits, n_hits, n_true, h_ovf, hq_counts
+            )
+            e_state = exact_step(e_state)
+        return (state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts), total
 
-    (state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
+    (state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
         tail_body,
-        (state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0),
+        (state, e_state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0),
         jnp.arange(step_base, step_base + tail_steps, dtype=jnp.int32),
     )
     live_profiles.append(tail_lives)
@@ -902,6 +1111,10 @@ def workq_search(
     if _PROFILE_BRANCHES:
         live_profiles = [live_profiles[0]] + [p.reshape(-1) for p in live_profiles[1:]]
     profile = jnp.concatenate(live_profiles)
+    if exact:
+        # exact-lane occupancy per step (constant within a segment —
+        # appends happen only at boundaries); sizes e_plan on later runs
+        profile = jnp.concatenate([profile] + e_profiles)
     h_lane, h_lb, h_sz, h_err = hits
     return jnp.concatenate([h_lane, h_lb, h_sz, h_err, tailvals, profile])
 
@@ -961,11 +1174,21 @@ def _capmem_load() -> None:
             key = tuple(json.loads(k))
             if key in _CAP_MEMORY:
                 continue
+            plan = None
+            if v.get("plan"):
+                p = v["plan"]
+                plan = (
+                    tuple(tuple(x) for x in p[0]),
+                    p[1],
+                    tuple(p[2]) if len(p) > 2 and p[2] is not None else (),
+                    p[3] if len(p) > 3 else 0,
+                )
             _CAP_MEMORY[key] = {
                 "q_cap": v["q_cap"],
                 "hq_cap": v["hq_cap"],
                 "profile": np.asarray(v["profile"], dtype=np.int64) if v.get("profile") else None,
-                "plan": (tuple(tuple(p) for p in v["plan"][0]), v["plan"][1]) if v.get("plan") else None,
+                "eprofile": np.asarray(v["eprofile"], dtype=np.int64) if v.get("eprofile") else None,
+                "plan": plan,
             }
     except (OSError, ValueError, KeyError):
         pass
@@ -980,11 +1203,18 @@ def _capmem_save() -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         raw = {}
         for k, v in _CAP_MEMORY.items():
+            plan = None
+            if v.get("plan"):
+                p = v["plan"]
+                plan = [[list(x) for x in p[0]], int(p[1]),
+                        [int(c) for c in (p[2] if len(p) > 2 else ())],
+                        int(p[3]) if len(p) > 3 else 0]
             raw[json.dumps(list(k))] = {
                 "q_cap": int(v["q_cap"]),
                 "hq_cap": int(v["hq_cap"]),
                 "profile": [int(x) for x in v["profile"]] if v.get("profile") is not None else None,
-                "plan": [[list(p) for p in v["plan"][0]], int(v["plan"][1])] if v.get("plan") else None,
+                "eprofile": [int(x) for x in v["eprofile"]] if v.get("eprofile") is not None else None,
+                "plan": plan,
             }
         tmp = path + ".tmp"
         with open(tmp, "w") as fh:
@@ -1071,12 +1301,13 @@ def predict_fit_chunk(index, tape, chunk: int, *, edit: bool, dedup: bool = True
     _capmem_load()
     dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "2")) if dedup else 0
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
+    exact = not _PROFILE_BRANCHES and os.environ.get("SAHARA_NO_EXACT_LANE", "") != "1"
     m = tape.length
     rest = (tape.num_searches, m, tape.max_errors, phase0_length(tape, edit),
-            edit, dedup_every, cap_per_query, int(index.n))
+            edit, dedup_every, cap_per_query, int(index.n), int(exact))
     per_q = 0.0
     for sk, sv in _CAP_MEMORY.items():
-        if len(sk) == 9 and tuple(sk[1:]) == rest:
+        if len(sk) == 10 and tuple(sk[1:]) == rest:
             prof = sv.get("profile")
             peak = int(np.max(prof)) if prof is not None else int(sv["q_cap"])
             peak = max(peak, int(sv["hq_cap"]))
@@ -1102,10 +1333,12 @@ def _sibling_bootstrap(cap_key: tuple) -> dict | None:
     if sib_best is None:
         return None
     scale = nq / sib_best[0] * 1.25
+    eprof = sib_best[1].get("eprofile")
     mem = {
         "q_cap": _pow2_cap(int(sib_best[1]["q_cap"] * scale)),
         "hq_cap": _pow2_cap(int(sib_best[1]["hq_cap"] * scale)),
         "profile": np.ceil(sib_best[1]["profile"] * scale).astype(np.int64),
+        "eprofile": np.ceil(eprof * scale).astype(np.int64) if eprof is not None else None,
         "plan": None,
     }
     _CAP_MEMORY[cap_key] = mem
@@ -1119,7 +1352,7 @@ _MESH_FNS: dict[tuple, object] = {}
 
 
 def _mesh_workq_fn(mesh, index, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
-                   dedup_every, cap_per_query, packed):
+                   dedup_every, cap_per_query, packed, e_plan=(), e_tail_cap=0):
     """One SPMD program: per-device workq_search on the local query shard
     against the replicated index; packed outputs stacked on the data axis."""
     from jax.sharding import PartitionSpec as P
@@ -1129,7 +1362,7 @@ def _mesh_workq_fn(mesh, index, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
     # the index treedef is part of the key: DeviceIndexes with different
     # optional fields (text4/lut present or not) need different in_specs
     key = (mesh, jax.tree.structure(index), edit, plan, tail_cap, hq_cap, m,
-           ns, k, ph0, dedup_every, cap_per_query, packed)
+           ns, k, ph0, dedup_every, cap_per_query, packed, e_plan, e_tail_cap)
     fn = _MESH_FNS.get(key)
     if fn is not None:
         return fn
@@ -1141,6 +1374,7 @@ def _mesh_workq_fn(mesh, index, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
             edit=edit, plan=plan, tail_cap=tail_cap, hq_cap=hq_cap,
             m=m, ns=ns, k=k, ph0=ph0, dedup_every=dedup_every,
             cap_per_query=cap_per_query, packed=packed,
+            e_plan=e_plan, e_tail_cap=e_tail_cap,
         )
         return out.reshape(1, -1)
 
@@ -1157,42 +1391,71 @@ def _mesh_workq_fn(mesh, index, *, edit, plan, tail_cap, hq_cap, m, ns, k, ph0,
     return fn
 
 
+def _e_caps_for_plan(
+    eprof: np.ndarray | None, plan: tuple, tail_steps: int, flat_cap: int
+) -> tuple[tuple[int, ...], int]:
+    """Per-segment exact-lane caps from a measured per-step occupancy
+    profile; flat fallback when none is stored.  The occupancy is bounded
+    by the total live-state count, so the flat B capacity is always a
+    safe ceiling."""
+    if eprof is None:
+        return tuple(flat_cap for _ in plan), flat_cap
+    eprof = np.asarray(eprof, dtype=np.int64)
+    caps = []
+    t = 0
+    for steps, _ in plan:
+        seg = eprof[t : t + steps]
+        caps.append(_quant_cap(int(seg.max(initial=0) * _PLAN_MARGIN) + 1))
+        t += steps
+    tail_seg = eprof[t : t + tail_steps]
+    return tuple(caps), _quant_cap(int(tail_seg.max(initial=0) * _PLAN_MARGIN) + 1)
+
+
 def _workq_attempt(st: dict) -> None:
     """Select a capacity plan from the attempt state and launch ONE device
     call (async — the result future lands in st['dev_out'])."""
     mem = st["mem"]
     main_steps, tail_steps = st["main_steps"], st["tail_steps"]
+    exact = st["exact"]
     if st["use_profile"]:
         plan, tail_cap = plan_from_profile(mem["profile"], main_steps, tail_steps)
+        e_caps, e_tail = (
+            _e_caps_for_plan(mem.get("eprofile"), plan, tail_steps, st["q_cap"])
+            if exact
+            else ((), 0)
+        )
         # compile hysteresis: chunk-to-chunk profile jitter must not
         # trigger a recompile per chunk — keep the already-compiled
         # plan unless the new one is meaningfully cheaper AND the old
         # one still has capacity for the grown profile
         old_plan = mem.get("plan")
         if old_plan is not None:
-            (op, otc), (np_, ntc) = old_plan, (plan, tail_cap)
+            op, otc, oec, oet = old_plan
             old_cost = sum(s * c for s, c in op) + tail_steps * otc
 
-            def _percap(pl, tc):
+            def _percap(pl, tc, ec, et):
                 out = []
-                for s, c in pl:
-                    out += [c] * s
-                return out + [tc] * tail_steps
+                for (s, c), e in zip(pl, ec if ec else [0] * len(pl)):
+                    out += [(c, e)] * s
+                return out + [(tc, et)] * tail_steps
 
-            oc_steps, nc_steps = _percap(op, otc), _percap(np_, ntc)
-            new_cost = sum(s * c for s, c in np_) + tail_steps * ntc
+            oc_steps = _percap(op, otc, oec, oet)
+            nc_steps = _percap(plan, tail_cap, e_caps, e_tail)
+            new_cost = sum(s * c for s, c in plan) + tail_steps * tail_cap
             # the old compiled plan still fits if it has at least the
             # new plan's capacity at every step (segment boundaries may
             # jitter run to run — that must not force a recompile)
             fits = len(oc_steps) == len(nc_steps) and all(
-                o >= n for o, n in zip(oc_steps, nc_steps)
+                o[0] >= n[0] and o[1] >= n[1] for o, n in zip(oc_steps, nc_steps)
             )
             if fits and new_cost >= 0.9 * old_cost:
-                plan, tail_cap = op, otc
-        mem["plan"] = (plan, tail_cap)
+                plan, tail_cap, e_caps, e_tail = op, otc, oec, oet
+        mem["plan"] = (plan, tail_cap, e_caps, e_tail)
     else:
         plan = ((main_steps, st["q_cap"]),) if main_steps else ()
         tail_cap = st["q_cap"]
+        e_caps = tuple(st["q_cap"] for _ in plan) if exact else ()
+        e_tail = st["q_cap"] if exact else 0
     st["cur_hq"] = st["hq_cap"]
     mesh = st.get("mesh")
     if mesh is not None:
@@ -1200,7 +1463,7 @@ def _workq_attempt(st: dict) -> None:
             mesh, st["index"], edit=st["edit"], plan=plan, tail_cap=tail_cap,
             hq_cap=st["hq_cap"], m=st["m"], ns=st["ns"], k=st["k"], ph0=st["ph0"],
             dedup_every=st["dedup_every"], cap_per_query=st["cap_per_query"],
-            packed=st["packed"],
+            packed=st["packed"], e_plan=e_caps, e_tail_cap=e_tail,
         )
         st["dev_out"] = fn(st["index"], st["queries_j"], *st["device_tape"], st["act_j"])
         return
@@ -1209,7 +1472,7 @@ def _workq_attempt(st: dict) -> None:
         edit=st["edit"], plan=plan, tail_cap=tail_cap, hq_cap=st["hq_cap"],
         m=st["m"], ns=st["ns"], k=st["k"], ph0=st["ph0"],
         dedup_every=st["dedup_every"], cap_per_query=st["cap_per_query"],
-        packed=st["packed"],
+        packed=st["packed"], e_plan=e_caps, e_tail_cap=e_tail,
     )
 
 
@@ -1276,10 +1539,15 @@ def dispatch_workq(
         device_tape = upload_tape(tape, mesh=mesh)
 
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
+    # exact lane default-on; SAHARA_NO_EXACT_LANE=1 is the A/B kill switch.
+    # Off under the branch profiler (its probe semantics count saturated
+    # states inside the B queue).
+    exact = not _PROFILE_BRANCHES and os.environ.get("SAHARA_NO_EXACT_LANE", "") != "1"
     # ph0 is part of the key: it sets main/tail step counts, so profiles
     # from tapes with a different exact-prefix length are not interchangeable
     _capmem_load()
-    cap_key = (nq_local, ns, m, k, ph0, edit, dedup_every, cap_per_query, int(index.n))
+    cap_key = (nq_local, ns, m, k, ph0, edit, dedup_every, cap_per_query, int(index.n),
+               int(exact))
     mem = _CAP_MEMORY.get(cap_key)
     if mem is None:
         mem = _sibling_bootstrap(cap_key)
@@ -1335,6 +1603,7 @@ def dispatch_workq(
         "cap_key": cap_key, "mem": mem, "use_profile": use_profile,
         "q_cap": q_cap, "hq_cap": hq_cap, "max_retries": max_retries, "attempt": 0,
         "mesh": mesh, "n_dev": n_dev, "nq_local": nq_local, "store_ok": store_ok,
+        "exact": exact,
     }
     _workq_attempt(st)
     return st
@@ -1351,6 +1620,9 @@ def collect_workq(st: dict) -> FlatHits:
     while True:
         out = np.asarray(st["dev_out"])  # ONE device->host transfer
         hq_cap = st["cur_hq"]
+        # with the exact lane, the per-step occupancy profile of the E
+        # queue rides after the B live profile (1 + main + tail entries)
+        prof_len = 1 + st["main_steps"] + st["tail_steps"] if st["exact"] else None
         if st.get("mesh") is not None:
             shards = out  # [n_dev, 4*hq_cap + 8 + profile]
             n_hits = int(shards[:, 4 * hq_cap].sum())
@@ -1358,14 +1630,18 @@ def collect_workq(st: dict) -> FlatHits:
             h_ovf_b = bool(shards[:, 4 * hq_cap + 2].any())
             max_live = int(shards[:, 4 * hq_cap + 3].max())
             n_true = int(shards[:, 4 * hq_cap + 4].max())
-            profile = shards[:, 4 * hq_cap + 8 :].max(axis=0)
+            full_prof = shards[:, 4 * hq_cap + 8 :].max(axis=0)
         else:
             n_hits = int(out[4 * hq_cap])
             q_ovf_b = bool(out[4 * hq_cap + 1])
             h_ovf_b = bool(out[4 * hq_cap + 2])
             max_live = int(out[4 * hq_cap + 3])
             n_true = int(out[4 * hq_cap + 4])
-            profile = out[4 * hq_cap + 8 :]
+            full_prof = out[4 * hq_cap + 8 :]
+        if prof_len is not None:
+            profile, eprofile = full_prof[:prof_len], full_prof[prof_len:]
+        else:
+            profile, eprofile = full_prof, None
         at_cap_limit = (q_ovf_b and st["q_cap"] >= HARD_CAP) or (
             h_ovf_b and st["hq_cap"] >= HARD_CAP
         )
@@ -1385,10 +1661,21 @@ def collect_workq(st: dict) -> FlatHits:
                     merged = np.maximum(old["profile"], new_prof)
                     grown = not np.array_equal(merged, old["profile"])
                     new_prof = merged
+                new_eprof = eprofile.astype(np.int64) if eprofile is not None else None
+                if (
+                    new_eprof is not None
+                    and old is not None
+                    and old.get("eprofile") is not None
+                    and len(old["eprofile"]) == len(new_eprof)
+                ):
+                    merged_e = np.maximum(old["eprofile"], new_eprof)
+                    grown = grown or not np.array_equal(merged_e, old["eprofile"])
+                    new_eprof = merged_e
                 _CAP_MEMORY[cap_key] = {
                     "q_cap": max(want_q, old["q_cap"] if old else 0),
                     "hq_cap": max(want_h, old["hq_cap"] if old else 0),
                     "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
+                    "eprofile": None if (q_ovf_b or h_ovf_b) else new_eprof,
                     "plan": old.get("plan") if old else None,
                 }
                 # skip the (whole-file json) disk write when nothing moved:

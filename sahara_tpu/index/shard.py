@@ -185,3 +185,13 @@ def load_any_index(path: str):
                 windowed_gids=data["windowed_gids"],
             )
     return _load_plain(path)
+
+
+def peek_index_kind(path: str) -> str:
+    """Cheap sniff of an index file's container kind ('sharded' or the
+    plain kinds 'bi'/'uni') — reads only the JSON meta member."""
+    from sahara_tpu.index.fmindex import FastNpz
+
+    with FastNpz(path) as data:
+        meta = json.loads(bytes(data["meta"]).decode())
+    return meta.get("kind", "plain")

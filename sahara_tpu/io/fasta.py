@@ -139,3 +139,77 @@ def write_fasta(
     finally:
         if own:
             fh.close()
+
+
+class NotSimpleFasta(Exception):
+    """File is not the uniform 2-line-per-record shape the vectorized
+    block parser requires; callers fall back to :func:`read_fasta`."""
+
+
+def iter_fasta_seq_matrix_blocks(
+    path: str | os.PathLike, block_bytes: int = 64 << 20
+):
+    """Incrementally yield uint8[n, L] sequence-byte matrices from a
+    uniform 2-line-per-record FASTA, reading ``block_bytes`` of the file
+    at a time.
+
+    The streaming complement of :func:`read_fasta_seq_matrix` (same
+    restrictions: '>' header + exactly one equal-length sequence line per
+    record, trailing newline, no CR).  Raises :class:`NotSimpleFasta` as
+    soon as a chunk violates the shape — on the FIRST chunk callers fall
+    back to the load-everything path cheaply; a mid-file violation aborts
+    the stream (the caller restarts non-streaming).
+
+    Why: at configs[4] scale the disk read + parse of a multi-GB read
+    file costs ~100s; yielding blocks lets a reader thread overlap that
+    with device search (VERDICT r4 #4)."""
+    import numpy as np
+
+    L = None
+    tail = b""
+    with open(path, "rb") as fh:
+        while True:
+            data = fh.read(block_bytes)
+            if not data:
+                break
+            data = tail + data
+            cut = data.rfind(b"\n")
+            if cut < 0:
+                tail = data
+                continue
+            tail = data[cut + 1 :]
+            seg = data[: cut + 1]
+            arr = np.frombuffer(seg, dtype=np.uint8)
+            nl = np.flatnonzero(arr == 0x0A)
+            if len(nl) % 2:
+                # odd line count: keep the last (header) line for the
+                # next chunk so records never split
+                keep_from = nl[-2] + 1 if len(nl) >= 2 else 0
+                tail = seg[keep_from:] + tail
+                arr = arr[:keep_from]
+                nl = nl[: len(nl) - 1]
+                if len(arr) == 0:
+                    continue
+            starts = np.r_[0, nl[:-1] + 1]
+            if arr[0] != ord(">"):
+                raise NotSimpleFasta("chunk does not start at a record boundary")
+            is_hdr = arr[starts] == ord(">")
+            if not (is_hdr[0::2].all() and not is_hdr[1::2].any()):
+                raise NotSimpleFasta("not strict header/sequence alternation")
+            seq_start = starts[1::2]
+            seq_end = nl[1::2]
+            lens = seq_end - seq_start
+            if L is None:
+                if len(lens) == 0:
+                    continue
+                L = int(lens[0])
+                if L == 0:
+                    raise NotSimpleFasta("empty sequence line")
+            if not (lens == L).all():
+                raise NotSimpleFasta("ragged sequence lengths")
+            mat = arr[seq_start[:, None] + np.arange(L, dtype=np.int64)[None, :]]
+            if (mat == 0x0D).any():
+                raise NotSimpleFasta("CRLF line endings")
+            yield mat
+    if tail.strip():
+        raise NotSimpleFasta("trailing bytes without final newline")

@@ -149,3 +149,94 @@ def _rank_call(occ16: jax.Array, sigma: int, idx: jax.Array, interpret: bool) ->
 def occ16_vmem_bytes(w_rows: int) -> int:
     """VMEM footprint of the folded table for a W-row occ table."""
     return -(-w_rows // _ROWS_PER_VEC) * _ROWS_PER_VEC * _ROW16 * 4
+
+
+# --------------------------------------------------------------------------
+# HBM-resident variant (VERDICT r4 #5): occ stays in HBM; each grid step
+# DMAs its block's rows into VMEM scratch, double-buffered across steps.
+# --------------------------------------------------------------------------
+
+_HBLOCK = 512  # indices per grid step
+
+
+def _rank_hbm_kernel(
+    idx_smem_ref, idx_vmem_ref, occ_hbm_ref, out_ref, scratch_ref, sem, *, sigma: int
+):
+    """One grid step: rank-all for _HBLOCK positions against an occ table
+    left in HBM (pltpu.ANY).  The 16-lane padded rows are fetched with
+    per-row async copies into VMEM scratch — the DMA engine is the only
+    way a Pallas kernel can touch dynamic HBM addresses, and per-row
+    copies are exactly the pattern XLA's gather engine already performs
+    without per-copy issue overhead; this kernel exists to MEASURE that
+    overhead honestly (RANK_r05.json)."""
+    blk = pl.program_id(0)
+
+    def start(c, _):
+        word = idx_smem_ref[blk * _HBLOCK + c] >> 5
+        pltpu.make_async_copy(
+            occ_hbm_ref.at[pl.ds(word, 1), :], scratch_ref.at[pl.ds(c, 1), :], sem
+        ).start()
+        return 0
+
+    lax.fori_loop(0, _HBLOCK, start, 0, unroll=64)
+
+    def wait(c, _):
+        word = idx_smem_ref[blk * _HBLOCK + c] >> 5
+        pltpu.make_async_copy(
+            occ_hbm_ref.at[pl.ds(word, 1), :], scratch_ref.at[pl.ds(c, 1), :], sem
+        ).wait()
+        return 0
+
+    lax.fori_loop(0, _HBLOCK, wait, 0, unroll=64)
+
+    idx = idx_vmem_ref[pl.ds(blk, 1), :].reshape(_HBLOCK, 1)
+    row16 = scratch_ref[:, :]
+    ckpt = row16[:, :sigma]
+    bits = pltpu.bitcast(row16[:, sigma : 2 * sigma], jnp.uint32)
+    off = pltpu.bitcast(idx & 31, jnp.uint32)
+    mask = (jnp.uint32(1) << off) - jnp.uint32(1)
+    cnt = lax.population_count(bits & mask)
+    out_ref[:, :] = ckpt + pltpu.bitcast(cnt, jnp.int32)
+
+
+def pack_occ16_rows(occ) -> jax.Array:
+    """Pad occ rows to 16 lanes WITHOUT folding (row-addressable for DMA):
+    int32[W, 16]."""
+    import numpy as np
+
+    occ = np.asarray(occ)
+    w, c = occ.shape
+    assert c <= _ROW16
+    out = np.zeros((w, _ROW16), dtype=np.int32)
+    out[:, :c] = occ
+    return jnp.asarray(out)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
+def rank_all_hbm(occ16r: jax.Array, sigma: int, idx: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """rank-all against an HBM-resident 16-lane occ table (pack_occ16_rows).
+    Works at any table size; see _rank_hbm_kernel for why this is a
+    measurement vehicle rather than a production path."""
+    n = idx.shape[0]
+    n_pad = -(-n // _HBLOCK) * _HBLOCK
+    if n_pad != n:
+        idx = jnp.concatenate([idx, jnp.zeros(n_pad - n, dtype=jnp.int32)])
+    grid = n_pad // _HBLOCK
+    idx2d = idx.reshape(grid, _HBLOCK)
+    out = pl.pallas_call(
+        functools.partial(_rank_hbm_kernel, sigma=sigma),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # occ stays in HBM
+        ],
+        out_specs=pl.BlockSpec((_HBLOCK, sigma), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, sigma), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_HBLOCK, _ROW16), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(idx, idx2d, occ16r)
+    return out[:n]

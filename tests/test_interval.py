@@ -104,3 +104,62 @@ def test_distributed_interval_search_matches(corpus):
     single = DeviceIndex.from_host(build_bifmindex(seqs, 6, "d_dna5"))
     want = search_queries(single, [q for q in queries if len(q) == m], k=k, generator_name="optimum", edit=True)
     assert _rows(got) == _rows(want)
+
+def test_sharded_swap_path_matches_resident(corpus, monkeypatch):
+    """SAHARA_HBM_BUDGET=0 forces the legacy swap path; hit sets must be
+    identical to the resident-SV fast path (and to the single index)."""
+    seqs, queries = corpus
+    k = 1
+    sharded = build_sharded_bifmindex(seqs, 6, "d_dna5", max_chars=400, overlap=64)
+    kw = dict(k=k, generator_name="optimum", edit=True)
+    resident = search_queries_sharded(sharded, queries, **kw)
+    assert getattr(sharded, "_resident_devs", None) is not None, "resident path not taken"
+    monkeypatch.setenv("SAHARA_HBM_BUDGET", "0")
+    sharded2 = build_sharded_bifmindex(seqs, 6, "d_dna5", max_chars=400, overlap=64)
+    swapped = search_queries_sharded(sharded2, queries, **kw)
+    assert getattr(sharded2, "_resident_devs", None) is None, "swap path not taken"
+    assert _rows(resident) == _rows(swapped)
+
+
+def test_sharded_resident_fallback_deferral(corpus):
+    """A tiny sv_part_cap forces every query into the repeat-saturated
+    fallback: the resident driver must defer to the full-index scheme
+    engine and still produce the exact hit set."""
+    seqs, queries = corpus
+    k = 1
+    single = DeviceIndex.from_host(build_bifmindex(seqs, 6, "d_dna5"))
+    want = search_queries(single, queries, k=k, generator_name="optimum", edit=True)
+    sharded = build_sharded_bifmindex(seqs, 6, "d_dna5", max_chars=400, overlap=64)
+    got = search_queries_sharded(
+        sharded, queries, k=k, generator_name="optimum", edit=True, sv_part_cap=0
+    )
+    # residents were dropped for the full-index fallback swap-in
+    assert getattr(sharded, "_resident_devs", None) is None
+    assert _rows(got) == _rows(want)
+
+
+def test_sharded_besthits_filters_globally(corpus):
+    """besthits across shards: a query whose best hit lives in shard A
+    must not ALSO report worse hits found in shard B — the filter must
+    apply after the cross-shard merge (on both driver paths)."""
+    seqs, queries = corpus
+    k = 1
+    single = DeviceIndex.from_host(build_bifmindex(seqs, 6, "d_dna5"))
+    want = search_queries(
+        single, queries, k=k, generator_name="optimum", edit=True, mode="besthits"
+    )
+    for budget in (None, "0"):
+        sharded = build_sharded_bifmindex(seqs, 6, "d_dna5", max_chars=400, overlap=64)
+        import os
+
+        if budget is None:
+            os.environ.pop("SAHARA_HBM_BUDGET", None)
+        else:
+            os.environ["SAHARA_HBM_BUDGET"] = budget
+        try:
+            got = search_queries_sharded(
+                sharded, queries, k=k, generator_name="optimum", edit=True, mode="besthits"
+            )
+        finally:
+            os.environ.pop("SAHARA_HBM_BUDGET", None)
+        assert _rows(got) == _rows(want), f"budget={budget}"

@@ -35,3 +35,24 @@ def test_rank_kernel_matches_xla(occ_fixture):
     want = np.asarray(rank_all(occ, sigma, jnp.asarray(idx)))
     got = np.asarray(rank_all_vmem(occ16, sigma, jnp.asarray(idx), interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_rank_all_hbm_matches_xla():
+    """HBM-resident Pallas rank (interpret mode on CPU) is bit-identical
+    to the XLA reference."""
+    import numpy as np
+
+    from sahara_tpu.engine.rank import rank_all
+    from sahara_tpu.kernels.rank import pack_occ16_rows, rank_all_hbm
+    from sahara_tpu.index.build import build_bifmindex
+
+    rng = np.random.default_rng(5)
+    ref = rng.integers(1, 5, size=5000).astype(np.uint8)
+    host = build_bifmindex([ref], 6, "d_dna5", rate=16)
+    occ16r = pack_occ16_rows(host.occ)
+    idx = rng.integers(0, host.n, size=700).astype(np.int32)
+    import jax.numpy as jnp
+
+    want = rank_all(jnp.asarray(host.occ), 6, jnp.asarray(idx))
+    got = rank_all_hbm(occ16r, 6, jnp.asarray(idx), interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -62,21 +62,27 @@ def main() -> None:
     print(f"shard0 upload+lut: {t_upload:.1f}s  n={host0.n}", file=sys.stderr)
 
     # --- isolated occ gather latency on the big table --------------------
+    # NOTE: occ must be a jit ARGUMENT — closing over dev captured the
+    # multi-GB table as a lowered CONSTANT (3.75GB inlined per executable,
+    # minutes of compile + duplicate HBM)
     rng = np.random.default_rng(0)
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("fold", "sigma", "n"))
+    def g50(occ, pos, *, fold, sigma, n):
+        def step(p, _):
+            rows = occ_row_word(occ, p >> 5, fold, 2 * sigma)
+            r = rank_all_from_row(rows, sigma, p)
+            return (p + r[:, 0] % 13) % (n - 64), None
+        out, _ = jax.lax.scan(step, pos, None, length=50)
+        return out
+
     for tag, nrows in (("occ_gather_262k", 262144),):
         pos = jnp.asarray(rng.integers(0, dev.n - 64, size=nrows).astype(np.int32))
-
-        @jax.jit
-        def g50(pos):
-            def step(p, _):
-                rows = occ_row_word(dev.occ, p >> 5, dev.fold, 2 * dev.sigma)
-                r = rank_all_from_row(rows, dev.sigma, p)
-                return (p + r[:, 0] % 13) % (dev.n - 64), None
-            out, _ = jax.lax.scan(step, pos, None, length=50)
-            return out
-
-        _block(g50(pos))
-        best = min(_t(g50, pos) for _ in range(3))
+        kw = dict(fold=dev.fold, sigma=dev.sigma, n=int(dev.n))
+        fn = lambda occ, p: g50(occ, p, **kw)
+        _block(fn(dev.occ, pos))
+        best = min(_t(fn, dev.occ, pos) for _ in range(3))
         print(f"{tag}: {best / 50 / nrows * 1e9:.2f} ns/row", file=sys.stderr)
 
     # --- synchronous phase split over a few chunks ------------------------
@@ -127,22 +133,23 @@ def main() -> None:
         vv = jnp.asarray(np.arange(len(rr)) < R)
 
         @jax.jit
-        def just_locate(rr, vv):
-            return lf_walk(dev, jnp.where(vv, rr, 0), vv)
+        def just_locate(d, rr, vv):
+            return lf_walk(d, jnp.where(vv, rr, 0), vv)
 
-        _block(just_locate(rr, vv))
-        sub["locate_s"] = min(_t(just_locate, rr, vv) for _ in range(3))
+        _block(just_locate(dev, rr, vv))
+        sub["locate_s"] = min(_t(just_locate, dev, rr, vv) for _ in range(3))
         from sahara_tpu.engine.seedverify import _gather_windows
 
         base = jnp.asarray(rng.integers(0, dev.n - 200, size=len(rr)).astype(np.int32))
         wlen = -(-(m + 3 * k + 1) // 8) * 8
 
-        @jax.jit
-        def just_windows(base):
-            return _gather_windows(dev, base, wlen)
+        @partial(jax.jit, static_argnames=("w",))
+        def just_windows(d, base, w):
+            return _gather_windows(d, base, w)
 
-        _block(just_windows(base))
-        sub["window_s"] = min(_t(just_windows, base) for _ in range(3))
+        wfn = lambda d, b: just_windows(d, b, wlen)
+        _block(wfn(dev, base))
+        sub["window_s"] = min(_t(wfn, dev, base) for _ in range(3))
 
     out = {
         "scale_gb": args.gb,
