@@ -255,7 +255,9 @@ def _run_workq_grouped(
     nq = qarr.shape[0]
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
 
-    _INFLIGHT = 4
+    import os as _os
+
+    _INFLIGHT = int(_os.environ.get("SAHARA_WORKQ_INFLIGHT", "4"))
     inflight: list[tuple] = []
     loc_pending: list[dict | None] = []
 

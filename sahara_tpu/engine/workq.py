@@ -557,25 +557,11 @@ def workq_search(
         alive = q_sz > 0
         fhi = jnp.take(final_hi, s_id)
         sat = alive & (err >= fhi)
-        keep = alive & ~sat
 
-        # B recompaction (keep-only) into cap_new
-        kpos, ktot = _positions(keep, tri)
-        iota_b = jnp.arange(cap_old, dtype=jnp.int32)
-        sel_b = (
-            jnp.zeros(cap_new, dtype=jnp.int32)
-            .at[jnp.where(keep, kpos, cap_new)]
-            .set(iota_b, mode="drop")
-        )
-        sel_b = lax.optimization_barrier(sel_b)
-        live_b = jnp.arange(cap_new, dtype=jnp.int32) < jnp.minimum(ktot, cap_new)
-        q_ovf = q_ovf | (ktot > cap_new)
-        new_state = tuple(
-            jnp.where(live_b, jnp.take(v, jnp.minimum(sel_b, cap_old - 1)), 0)
-            for v in (q_lb, q_lbr, q_sz, meta)
-        )
-
-        # E recompaction (drop dead) + saturated append into e_cap_new
+        # E recompaction (drop dead) + saturated append into e_cap_new.
+        # Saturated rows that DON'T fit simply STAY in B (they are still
+        # correct there, just on the expensive path) — E capacity is a
+        # pure performance knob and can never force an overflow retry.
         e_lb, e_lbr, e_sz, e_meta = e_state
         e_cap_old = e_lb.shape[0]
         alive_e = e_sz > 0
@@ -587,9 +573,11 @@ def workq_search(
             .set(iota_e, mode="drop")
         )
         spos, stot = _positions(sat, tri)
+        mig = sat & (etot + spos < e_cap_new)
+        iota_b = jnp.arange(cap_old, dtype=jnp.int32)
         sel_s = (
             jnp.full(e_cap_new, -1, dtype=jnp.int32)
-            .at[jnp.where(sat, etot + spos, e_cap_new)]
+            .at[jnp.where(mig, etot + spos, e_cap_new)]
             .set(iota_b, mode="drop")
         )
         sel_e = lax.optimization_barrier(sel_e)
@@ -606,8 +594,67 @@ def workq_search(
             )
             for ev, bv in ((e_lb, q_lb), (e_lbr, q_lbr), (e_sz, q_sz), (e_meta, meta))
         )
-        q_ovf = q_ovf | (etot + stot > e_cap_new)
+        if dedup_every:
+            # E-internal dominance merge at the boundary: rows in the
+            # exact lane escape the per-step B dedup, and saturated
+            # duplicate orderings are the MOST redundant states in the
+            # whole search (equal cursor, equal err — err == the search's
+            # final bound for every sat row of a search).  Without this
+            # the lane inflates total row-steps instead of shrinking them
+            # (measured: E row-steps ~= the states dedup used to kill).
+            # Winner rule: identical (lb, lbr, sz, d, s, q) and the
+            # winner's edge flags are a subset of the victim's (a
+            # match-only future never sets new flags, so fewer flags
+            # reproduce every finish of more flags).
+            ne_lb, ne_lbr, ne_sz, ne_meta = new_e
+            alive2 = ne_sz > 0
+            cb = (e_cap_new - 1).bit_length()
+            ht = 1 << cb
+            keym = jnp.int32(L.key_mask - (1 << 32) if L.key_mask >= 2**31 else L.key_mask)
+            hsh = (
+                ne_lb * jnp.int32(0x9E3779B1 - (1 << 32))
+                ^ ne_lbr * jnp.int32(0x85EBCA77 - (1 << 32))
+                ^ ne_sz * jnp.int32(0xC2B2AE3D - (1 << 32))
+                ^ (ne_meta & keym) * jnp.int32(0x27D4EB2F)
+            ) & (ht - 1)
+            row_e = jnp.arange(e_cap_new, dtype=jnp.int32)
+            opf2 = ne_meta & L.opf_mask
+            nbad = ((opf2 >> 2) & 1) + ((opf2 >> 3) & 1)
+            pri = jnp.where(alive2, (nbad << cb) | row_e, _I32_MAX)
+            table = jnp.full(ht, _I32_MAX, dtype=jnp.int32).at[hsh].min(pri)
+            win = jnp.minimum(jnp.take(table, hsh) & (ht - 1), e_cap_new - 1)
+            _nm = (~L.opf_mask) & 0xFFFFFFFF
+            nopfm = jnp.int32(_nm - (1 << 32) if _nm >= 2**31 else _nm)
+            w_lb = jnp.take(ne_lb, win)
+            w_lbr = jnp.take(ne_lbr, win)
+            w_sz = jnp.take(ne_sz, win)
+            w_meta = jnp.take(ne_meta, win)
+            same = (
+                (w_lb == ne_lb)
+                & (w_lbr == ne_lbr)
+                & (w_sz == ne_sz)
+                & (((w_meta ^ ne_meta) & nopfm) == 0)
+            )
+            edge_dom = ((w_meta & _EDGES) & ~opf2) == 0
+            kill = alive2 & same & (win != row_e) & edge_dom
+            new_e = (ne_lb, ne_lbr, jnp.where(kill, 0, ne_sz), ne_meta)
         e_count = jnp.minimum(etot + stot, e_cap_new)
+
+        # B recompaction (keep everything alive that didn't migrate)
+        keep = alive & ~mig
+        kpos, ktot = _positions(keep, tri)
+        sel_b = (
+            jnp.zeros(cap_new, dtype=jnp.int32)
+            .at[jnp.where(keep, kpos, cap_new)]
+            .set(iota_b, mode="drop")
+        )
+        sel_b = lax.optimization_barrier(sel_b)
+        live_b = jnp.arange(cap_new, dtype=jnp.int32) < jnp.minimum(ktot, cap_new)
+        q_ovf = q_ovf | (ktot > cap_new)
+        new_state = tuple(
+            jnp.where(live_b, jnp.take(v, jnp.minimum(sel_b, cap_old - 1)), 0)
+            for v in (q_lb, q_lbr, q_sz, meta)
+        )
         return new_state, new_e, e_count, q_ovf
 
     def make_e_drain(e_cap):
@@ -1007,10 +1054,22 @@ def workq_search(
             new_meta = new_op | (new_err << L.err_shift) | (new_d << L.d_shift) | p_rest
             new_meta = jnp.where(live, new_meta, 0)
 
+            if exact:
+                # saturated-survivor count: with the E-queue alive count
+                # added by the caller this forms the per-step SATURATED
+                # TOTAL — the segmentation-INDEPENDENT sizing profile for
+                # e_plan (a boundary at step t migrates exactly this many
+                # rows into E, wherever the boundary lands)
+                new_s = (new_meta >> L.s_shift) & L.s_mask if ns > 1 else jnp.zeros_like(new_meta)
+                sat_cnt = jnp.sum(
+                    ((new_sz > 0) & (new_err >= jnp.take(final_hi, new_s))).astype(jnp.int32)
+                )
+            else:
+                sat_cnt = jnp.int32(0)
             new_state = (new_lb, new_lbr, new_sz, new_meta)
             return (
                 new_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts,
-                total if hist_y is None else hist_y,
+                total if hist_y is None else hist_y, sat_cnt,
             )
 
         return expand_step
@@ -1049,33 +1108,33 @@ def workq_search(
             state, e_state, e_count, q_ovf = migrate(
                 state, e_state, e_count, q_ovf, cap, e_plan[seg_i]
             )
-            e_profiles.append(jnp.broadcast_to(e_count.reshape(1), (steps,)))
         else:
             state, q_ovf = _resize(state, cap, q_ovf)
         step_fn = make_step(cap, drain=False)
 
         def main_body(carry, t):
             state, e_state, q_ovf, max_live = carry
-            state, _, _, _, q_ovf, _, max_live, _, total = step_fn(
+            state, _, _, _, q_ovf, _, max_live, _, total, sat = step_fn(
                 state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0, t
             )
             if exact:
                 e_state = exact_step(e_state)
-            return (state, e_state, q_ovf, max_live), total
+                sat = sat + jnp.sum((e_state[2] > 0).astype(jnp.int32))
+            return (state, e_state, q_ovf, max_live), (total, sat)
 
-        (state, e_state, q_ovf, max_live), lives = lax.scan(
+        (state, e_state, q_ovf, max_live), (lives, sats) = lax.scan(
             main_body,
             (state, e_state, q_ovf, max_live),
             jnp.arange(step_base, step_base + steps, dtype=jnp.int32),
         )
         live_profiles.append(lives)
+        e_profiles.append(sats)
         step_base += steps
 
     if exact:
         state, e_state, e_count, q_ovf = migrate(
             state, e_state, e_count, q_ovf, tail_cap, e_tail_cap
         )
-        e_profiles.append(jnp.broadcast_to(e_count.reshape(1), (tail_steps,)))
         e_drain_fn = make_e_drain(e_tail_cap)
     else:
         state, q_ovf = _resize(state, tail_cap, q_ovf)
@@ -1083,7 +1142,7 @@ def workq_search(
 
     def tail_body(carry, t):
         state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts = carry
-        state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, total = tail_fn(
+        state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, total, sat = tail_fn(
             state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts, t
         )
         if exact:
@@ -1091,14 +1150,16 @@ def workq_search(
                 e_state, hits, n_hits, n_true, h_ovf, hq_counts
             )
             e_state = exact_step(e_state)
-        return (state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts), total
+            sat = sat + jnp.sum((e_state[2] > 0).astype(jnp.int32))
+        return (state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, hq_counts), (total, sat)
 
-    (state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, _), tail_lives = lax.scan(
+    (state, e_state, hits, n_hits, n_true, q_ovf, h_ovf, max_live, _), (tail_lives, tail_sats) = lax.scan(
         tail_body,
         (state, e_state, hits0, n_hits0, n_hits0, q_ovf, ovf0, max_live, hq_counts0),
         jnp.arange(step_base, step_base + tail_steps, dtype=jnp.int32),
     )
     live_profiles.append(tail_lives)
+    e_profiles.append(tail_sats)
 
     # pack everything into ONE output array: device->host transfers pay a
     # large fixed latency on tunneled backends, so one transfer, not seven
@@ -1188,6 +1249,7 @@ def _capmem_load() -> None:
                 "hq_cap": v["hq_cap"],
                 "profile": np.asarray(v["profile"], dtype=np.int64) if v.get("profile") else None,
                 "eprofile": np.asarray(v["eprofile"], dtype=np.int64) if v.get("eprofile") else None,
+                "prof_flat": bool(v.get("prof_flat", False)),
                 "plan": plan,
             }
     except (OSError, ValueError, KeyError):
@@ -1214,6 +1276,7 @@ def _capmem_save() -> None:
                 "hq_cap": int(v["hq_cap"]),
                 "profile": [int(x) for x in v["profile"]] if v.get("profile") is not None else None,
                 "eprofile": [int(x) for x in v["eprofile"]] if v.get("eprofile") is not None else None,
+                "prof_flat": bool(v.get("prof_flat", False)),
                 "plan": plan,
             }
         tmp = path + ".tmp"
@@ -1299,9 +1362,9 @@ def predict_fit_chunk(index, tape, chunk: int, *, edit: bool, dedup: bool = True
     import os
 
     _capmem_load()
-    dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "2")) if dedup else 0
+    dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "4")) if dedup else 0
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
-    exact = not _PROFILE_BRANCHES and os.environ.get("SAHARA_NO_EXACT_LANE", "") != "1"
+    exact = not _PROFILE_BRANCHES and os.environ.get("SAHARA_EXACT_LANE", "") == "1"
     m = tape.length
     rest = (tape.num_searches, m, tape.max_errors, phase0_length(tape, edit),
             edit, dedup_every, cap_per_query, int(index.n), int(exact))
@@ -1339,6 +1402,10 @@ def _sibling_bootstrap(cap_key: tuple) -> dict | None:
         "hq_cap": _pow2_cap(int(sib_best[1]["hq_cap"] * scale)),
         "profile": np.ceil(sib_best[1]["profile"] * scale).astype(np.int64),
         "eprofile": np.ceil(eprof * scale).astype(np.int64) if eprof is not None else None,
+        # scaled profiles inherit the sibling's flatness (and the probe
+        # sibling is usually flat): mark flat so the first real segmented
+        # run REPLACES this estimate instead of max-merging under it
+        "prof_flat": bool(sib_best[1].get("prof_flat", True)),
         "plan": None,
     }
     _CAP_MEMORY[cap_key] = mem
@@ -1404,10 +1471,13 @@ def _e_caps_for_plan(
     caps = []
     t = 0
     for steps, _ in plan:
-        seg = eprof[t : t + steps]
+        # a boundary INTO this segment migrates sat(last step of the
+        # previous segment) rows, which can exceed every in-segment value
+        # when migrants die fast — include the boundary step in the max
+        seg = eprof[max(t - 1, 0) : t + steps]
         caps.append(_quant_cap(int(seg.max(initial=0) * _PLAN_MARGIN) + 1))
         t += steps
-    tail_seg = eprof[t : t + tail_steps]
+    tail_seg = eprof[max(t - 1, 0) : t + tail_steps]
     return tuple(caps), _quant_cap(int(tail_seg.max(initial=0) * _PLAN_MARGIN) + 1)
 
 
@@ -1457,6 +1527,7 @@ def _workq_attempt(st: dict) -> None:
         e_caps = tuple(st["q_cap"] for _ in plan) if exact else ()
         e_tail = st["q_cap"] if exact else 0
     st["cur_hq"] = st["hq_cap"]
+    st["ran_profiled"] = bool(st["use_profile"])
     mesh = st.get("mesh")
     if mesh is not None:
         fn = _mesh_workq_fn(
@@ -1522,9 +1593,10 @@ def dispatch_workq(
         # cadence: dominance-merge every Nth step — the scatter-min +
         # winner-verify costs ~25ns/cap-slot (tools/perf_step.py), so
         # thinning it trades merge latency (slightly larger queue) for
-        # step cost; every-2nd measured ~3% faster end-to-end than every
-        # step at bench shapes, hit-identical (interleaved A/B, r4)
-        dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "2")) if dedup else 0
+        # step cost; the r5 cadence sweep (dd 1/2/3/4/5/6 interleaved,
+        # tools-style A/B) put every-4th ~5% ahead of every-2nd at bench
+        # shapes, hit-identical
+        dedup_every = int(os.environ.get("SAHARA_DEDUP_EVERY", "4")) if dedup else 0
     nq, m = queries.shape
     n_dev = mesh.devices.size if mesh is not None else 1
     if nq % n_dev:
@@ -1539,10 +1611,14 @@ def dispatch_workq(
         device_tape = upload_tape(tape, mesh=mesh)
 
     cap_per_query = 4 * max_hits if max_hits > 0 else 0
-    # exact lane default-on; SAHARA_NO_EXACT_LANE=1 is the A/B kill switch.
-    # Off under the branch profiler (its probe semantics count saturated
-    # states inside the B queue).
-    exact = not _PROFILE_BRANCHES and os.environ.get("SAHARA_NO_EXACT_LANE", "") != "1"
+    # Exact lane: OPT-IN (SAHARA_EXACT_LANE=1).  Measured NEGATIVE result
+    # at bench shapes (r5): 0.53s vs 0.49s per 16k-strand chunk after
+    # convergence — the saturated states the lane extracts were also the
+    # most dedup-mergeable ones, so the B queue with dedup was already
+    # eliminating most of their cost; the lane re-exposes it as E rows
+    # (boundary dedup recovers only part) plus migration overhead.  Kept
+    # gated for the record, like r4's "fold" gather mode.
+    exact = not _PROFILE_BRANCHES and os.environ.get("SAHARA_EXACT_LANE", "") == "1"
     # ph0 is part of the key: it sets main/tail step counts, so profiles
     # from tapes with a different exact-prefix length are not interchangeable
     _capmem_load()
@@ -1655,27 +1731,42 @@ def collect_workq(st: dict) -> FlatHits:
                 want_q = _pow2_cap(max_live + _BLK)
                 want_h = _pow2_cap(n_true + _BLK)
                 old = _CAP_MEMORY.get(cap_key)
+                # With the exact lane, a FLAT run's B profile is
+                # systematically larger than a segmented run's (flat plans
+                # migrate saturated states only at step 0 and the tail, so
+                # B carries them through main).  A segmented profile
+                # therefore REPLACES a flat-run one (max-merging would pin
+                # B at the no-migration sizes forever); a flat run never
+                # merges over a stored segmented profile.
+                ran_profiled = st.get("ran_profiled", False)
+                old_flat = bool(old.get("prof_flat")) if old else False
                 new_prof = profile.astype(np.int64)
+                new_eprof = eprofile.astype(np.int64) if eprofile is not None else None
                 grown = old is None or old.get("profile") is None
-                if not grown and len(old["profile"]) == len(new_prof):
+                if not grown and old_flat and ran_profiled and st["exact"]:
+                    grown = True  # replace: drop the flat profile
+                elif not grown and not old_flat and not ran_profiled and st["exact"]:
+                    # flat run over a segmented store: keep the stored one
+                    new_prof = old["profile"]
+                    new_eprof = old.get("eprofile")
+                elif not grown and len(old["profile"]) == len(new_prof):
                     merged = np.maximum(old["profile"], new_prof)
                     grown = not np.array_equal(merged, old["profile"])
                     new_prof = merged
-                new_eprof = eprofile.astype(np.int64) if eprofile is not None else None
-                if (
-                    new_eprof is not None
-                    and old is not None
-                    and old.get("eprofile") is not None
-                    and len(old["eprofile"]) == len(new_eprof)
-                ):
-                    merged_e = np.maximum(old["eprofile"], new_eprof)
-                    grown = grown or not np.array_equal(merged_e, old["eprofile"])
-                    new_eprof = merged_e
+                    if (
+                        new_eprof is not None
+                        and old.get("eprofile") is not None
+                        and len(old["eprofile"]) == len(new_eprof)
+                    ):
+                        merged_e = np.maximum(old["eprofile"], new_eprof)
+                        grown = grown or not np.array_equal(merged_e, old["eprofile"])
+                        new_eprof = merged_e
                 _CAP_MEMORY[cap_key] = {
                     "q_cap": max(want_q, old["q_cap"] if old else 0),
                     "hq_cap": max(want_h, old["hq_cap"] if old else 0),
                     "profile": None if (q_ovf_b or h_ovf_b) else new_prof,
                     "eprofile": None if (q_ovf_b or h_ovf_b) else new_eprof,
+                    "prof_flat": (not ran_profiled) if not (old and not old_flat and not ran_profiled and st["exact"]) else False,
                     "plan": old.get("plan") if old else None,
                 }
                 # skip the (whole-file json) disk write when nothing moved:

@@ -116,3 +116,33 @@ def test_scheme_with_many_searches_splits_into_groups(fixture):
         for sid, pos in brute_approx_hits(seqs, q, k, hamming=True):
             want.add((qi, sid, pos))
     assert got == want
+
+
+@pytest.mark.parametrize("edit", [False, True])
+def test_exact_lane_hit_sets_identical(fixture, edit, monkeypatch):
+    """SAHARA_EXACT_LANE=1 (the gated saturated-state lane): located hit
+    SETS must equal the default engine's.  Raw multiplicity may differ
+    (E rows escape the per-step dedup; boundary dedup recovers some),
+    which is why the comparison goes through the driver merge."""
+    from sahara_tpu.engine.driver import search_queries
+
+    _, dev, qarr = fixture
+    qs = list(qarr.astype(np.uint8))
+    kw = dict(k=2, generator_name="optimum", edit=edit, engine="workq")
+    base = search_queries(dev, qs, **kw)
+    monkeypatch.setenv("SAHARA_EXACT_LANE", "1")
+    lane = search_queries(dev, qs, **kw)
+    assert base.rows() == lane.rows()
+    # and with dedup OFF the multisets are bit-identical (the lane's
+    # exact extension IS the single branch the full step would take)
+    ess = expand(GENERATORS["optimum"].generator(0, 2, 0, 0), qarr.shape[1])
+    if not edit:
+        ess = limit_to_hamming(ess)
+    tape = compile_tape(ess)
+    monkeypatch.delenv("SAHARA_EXACT_LANE")
+    a = run_workq_search(dev, qarr, tape, edit=edit, dedup=False)
+    monkeypatch.setenv("SAHARA_EXACT_LANE", "1")
+    b = run_workq_search(dev, qarr, tape, edit=edit, dedup=False)
+    sa = sorted(zip(a.lane.tolist(), a.lb.tolist(), a.sz.tolist(), a.err.tolist()))
+    sb = sorted(zip(b.lane.tolist(), b.lb.tolist(), b.sz.tolist(), b.err.tolist()))
+    assert sa == sb

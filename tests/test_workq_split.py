@@ -104,7 +104,7 @@ def test_predict_fit_chunk_shrinks_known_blowups():
     # (~2k rows/query) -> at the 8M ceiling only ~3k queries fit; the
     # predictor must halve 16384 down to 2048 (0.75 headroom)
     ph0 = workq.phase0_length(tape, True)
-    key = (1024, tape.num_searches, 36, 1, ph0, True, 2, 0, int(index.n), 1)
+    key = (1024, tape.num_searches, 36, 1, ph0, True, 4, 0, int(index.n), 0)
     prof = np.zeros(8, dtype=np.int64)
     prof[3] = 2_000_000
     workq._CAP_MEMORY[key] = {"q_cap": 2 ** 21, "hq_cap": 4096, "profile": prof, "plan": None}
