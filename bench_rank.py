@@ -74,6 +74,19 @@ def run_size(ref_mb: float, n: int, results: list) -> None:
     else:
         print("# pallas_vmem skipped: occ table exceeds VMEM")
 
+    # HBM-resident Pallas kernel (VERDICT r4 #5): occ stays in HBM, rows
+    # fetched with per-row async DMAs.  Run at every size (it has no VMEM
+    # capacity limit) to settle the InterleavedBitvector16 question with
+    # a measurement rather than an argument.
+    if os.environ.get("SAHARA_RANK_HBM", "1") == "1":
+        from sahara_tpu.kernels.rank import pack_occ16_rows, rank_all_hbm
+
+        occ16r = pack_occ16_rows(np.asarray(host.occ))
+        phbm = jax.jit(lambda i: rank_all_hbm(occ16r, sigma, i))
+        row("pallas_hbm", timeit(phbm, idx))
+        assert (a == np.asarray(phbm(idx))).all(), "pallas_hbm deviates from XLA rank"
+        print("# pallas_hbm bit-identical: True")
+
 
 def main():
     import json

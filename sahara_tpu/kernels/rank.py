@@ -163,34 +163,43 @@ def _rank_hbm_kernel(
     idx_smem_ref, idx_vmem_ref, occ_hbm_ref, out_ref, scratch_ref, sem, *, sigma: int
 ):
     """One grid step: rank-all for _HBLOCK positions against an occ table
-    left in HBM (pltpu.ANY).  The 16-lane padded rows are fetched with
-    per-row async copies into VMEM scratch — the DMA engine is the only
-    way a Pallas kernel can touch dynamic HBM addresses, and per-row
-    copies are exactly the pattern XLA's gather engine already performs
-    without per-copy issue overhead; this kernel exists to MEASURE that
-    overhead honestly (RANK_r05.json)."""
+    left in HBM (pltpu.ANY).  Rows are fetched with per-row async copies
+    into VMEM scratch — the DMA engine is the only way a Pallas kernel
+    can touch dynamic HBM addresses, and per-row copies are exactly the
+    pattern XLA's gather engine already performs without per-copy issue
+    overhead; this kernel exists to MEASURE that overhead honestly
+    (RANK_r05.json).  Mosaic requires 128-lane-aligned HBM slices, so the
+    table packs 8 16-lane occ rows per 128-lane line (pack_occ16 layout)
+    and the kernel selects the (word & 7) group after the copy."""
     blk = pl.program_id(0)
 
     def start(c, _):
-        word = idx_smem_ref[blk * _HBLOCK + c] >> 5
+        line = idx_smem_ref[blk * _HBLOCK + c] >> 8  # (idx >> 5) >> 3
         pltpu.make_async_copy(
-            occ_hbm_ref.at[pl.ds(word, 1), :], scratch_ref.at[pl.ds(c, 1), :], sem
+            occ_hbm_ref.at[pl.ds(line, 1), :], scratch_ref.at[pl.ds(c, 1), :], sem
         ).start()
         return 0
 
-    lax.fori_loop(0, _HBLOCK, start, 0, unroll=64)
+    lax.fori_loop(0, _HBLOCK, start, 0, unroll=_HBLOCK)
 
     def wait(c, _):
-        word = idx_smem_ref[blk * _HBLOCK + c] >> 5
+        line = idx_smem_ref[blk * _HBLOCK + c] >> 8
         pltpu.make_async_copy(
-            occ_hbm_ref.at[pl.ds(word, 1), :], scratch_ref.at[pl.ds(c, 1), :], sem
+            occ_hbm_ref.at[pl.ds(line, 1), :], scratch_ref.at[pl.ds(c, 1), :], sem
         ).wait()
         return 0
 
-    lax.fori_loop(0, _HBLOCK, wait, 0, unroll=64)
+    lax.fori_loop(0, _HBLOCK, wait, 0, unroll=_HBLOCK)
 
     idx = idx_vmem_ref[pl.ds(blk, 1), :].reshape(_HBLOCK, 1)
-    row16 = scratch_ref[:, :]
+    word = idx >> 5
+    group = word & (_ROWS_PER_VEC - 1)
+    rows = scratch_ref[:, :]  # [_HBLOCK, 128]
+    lane_grp = lax.broadcasted_iota(jnp.int32, (_HBLOCK, _ROWS_PER_VEC * _ROW16), 1) >> 4
+    masked = jnp.where(lane_grp == group, rows, 0)
+    row16 = masked[:, :_ROW16]
+    for g in range(1, _ROWS_PER_VEC):
+        row16 = row16 + masked[:, g * _ROW16 : (g + 1) * _ROW16]
     ckpt = row16[:, :sigma]
     bits = pltpu.bitcast(row16[:, sigma : 2 * sigma], jnp.uint32)
     off = pltpu.bitcast(idx & 31, jnp.uint32)
@@ -200,24 +209,26 @@ def _rank_hbm_kernel(
 
 
 def pack_occ16_rows(occ) -> jax.Array:
-    """Pad occ rows to 16 lanes WITHOUT folding (row-addressable for DMA):
-    int32[W, 16]."""
-    import numpy as np
-
-    occ = np.asarray(occ)
-    w, c = occ.shape
-    assert c <= _ROW16
-    out = np.zeros((w, _ROW16), dtype=np.int32)
-    out[:, :c] = occ
-    return jnp.asarray(out)
+    """128-lane HBM lines of 8 padded occ rows (identical data layout to
+    pack_occ16; separate name kept for the HBM-kernel call sites)."""
+    return pack_occ16(occ)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
 def rank_all_hbm(occ16r: jax.Array, sigma: int, idx: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """rank-all against an HBM-resident 16-lane occ table (pack_occ16_rows).
+    """rank-all against an HBM-resident occ table (pack_occ16_rows).
     Works at any table size; see _rank_hbm_kernel for why this is a
     measurement vehicle rather than a production path."""
     n = idx.shape[0]
+    if n > _MAX_CALL:  # SMEM holds the scalar-addressable index block
+        n_pad = -(-n // _MAX_CALL) * _MAX_CALL
+        if n_pad != n:
+            idx = jnp.concatenate([idx, jnp.zeros(n_pad - n, dtype=jnp.int32)])
+        parts = [
+            rank_all_hbm(occ16r, sigma, idx[o : o + _MAX_CALL], interpret=interpret)
+            for o in range(0, n_pad, _MAX_CALL)
+        ]
+        return jnp.concatenate(parts)[:n]
     n_pad = -(-n // _HBLOCK) * _HBLOCK
     if n_pad != n:
         idx = jnp.concatenate([idx, jnp.zeros(n_pad - n, dtype=jnp.int32)])
@@ -234,7 +245,7 @@ def rank_all_hbm(occ16r: jax.Array, sigma: int, idx: jax.Array, *, interpret: bo
         out_specs=pl.BlockSpec((_HBLOCK, sigma), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, sigma), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((_HBLOCK, _ROW16), jnp.int32),
+            pltpu.VMEM((_HBLOCK, _ROWS_PER_VEC * _ROW16), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
