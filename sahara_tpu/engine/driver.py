@@ -28,11 +28,14 @@ from sahara_tpu.engine.workq import (
     upload_tape,
 )
 from sahara_tpu.engine.seedverify import (
+    SvHits,
     collect_sv,
     collect_sv_expand,
     dispatch_sv,
     dispatch_sv_verify,
+    seed_bad_mask,
     sv_eligible,
+    sv_fused,
 )
 from sahara_tpu.schemes import expand, get_generator, limit_to_hamming
 from sahara_tpu.schemes.costs import node_count, optimize_by_wnc_topdown, weighted_node_count
@@ -367,6 +370,120 @@ def _run_sv_mesh(
     return _cap_hits_per_query(res, max_hits), fb
 
 
+# fused-path capacity memory: (m, k, edit, P, chunk) -> {"capR", "hq_cap"}
+# (in-process; the first pass discovers real candidate/hit volumes and
+# right-sizes subsequent compiles)
+_FUSED_CAPS: dict[tuple, dict] = {}
+
+
+def _quant_fused(x: int) -> int:
+    """512-multiple with ~3 significant bits (bounds compile variants)."""
+    x = max(int(x), 512)
+    step = max(512, 1 << (max(x - 1, 1).bit_length() - 3))
+    return -(-x // step) * step
+
+
+def _run_sv_fused(
+    index: DeviceIndex,
+    qarr: np.ndarray,
+    qids: np.ndarray,
+    *,
+    k: int,
+    edit: bool,
+    active: np.ndarray | None,
+    max_hits: int,
+    chunk: int,
+    part_cap: int,
+    parts: tuple[tuple[int, int], ...],
+) -> tuple[SearchResult, np.ndarray]:
+    """Fused seed-and-verify driver: ONE device dispatch and ONE D2H per
+    chunk (seedverify.sv_fused).  The query matrix uploads once as uint8;
+    chunks are sliced on-device.  Candidate/hit overflow retries the
+    chunk with grown capacities (sized from in-process capacity memory
+    after the first pass).  Hit set identical to the two-phase path —
+    property- and oracle-tested (tests/test_seedverify.py)."""
+    import jax.numpy as jnp
+
+    nq, m = qarr.shape
+    nq_pad = -(-max(nq, 1) // chunk) * chunk
+    qpad = np.zeros((nq_pad, m), dtype=np.uint8)
+    qpad[:nq] = qarr
+    act = np.zeros(nq_pad, dtype=bool)
+    act[:nq] = True if active is None else np.asarray(active, dtype=bool)
+    bad = seed_bad_mask(index, qpad, parts)
+    bad_pad = np.zeros(nq_pad, dtype=bool) if bad is None else bad
+    qfull = jnp.asarray(qpad)
+    act_d = jnp.asarray(act)
+    bad_d = jnp.asarray(bad_pad)
+
+    key = (m, k, edit, len(parts), chunk)
+    caps = _FUSED_CAPS.setdefault(
+        key, {"capR": _quant_fused(2 * chunk), "hq_cap": _quant_fused(chunk)}
+    )
+    nw = -(-chunk // 32)
+
+    def _dispatch(start, capR, hq_cap):
+        return sv_fused(
+            index, qfull, act_d, bad_d, jnp.int32(start), parts=parts, m=m, k=k,
+            edit=edit, capR=capR, hq_cap=hq_cap, part_cap=part_cap, chunk=chunk,
+        )
+
+    starts = list(range(0, nq_pad, chunk))
+    futs = [(_dispatch(s, caps["capR"], caps["hq_cap"]), caps["capR"], caps["hq_cap"]) for s in starts]
+
+    fallback_all = np.zeros(nq, dtype=bool)
+    out_q, out_p, out_e = [], [], []
+    seen_cands = seen_hits = 0
+    for start, (fut, capR, hq_cap) in zip(starts, futs):
+        for _ in range(8):
+            packed = np.asarray(fut)
+            tail = packed[3 * hq_cap + nw :]
+            n_hits, hit_ovf, cand_ovf, n_cands = (int(tail[0]), bool(tail[1]),
+                                                  bool(tail[2]), int(tail[3]))
+            if not (hit_ovf or cand_ovf):
+                break
+            if cand_ovf:
+                caps["capR"] = _quant_fused(max(int(n_cands * 1.3), 2 * caps["capR"]))
+            if hit_ovf:
+                caps["hq_cap"] = _quant_fused(4 * caps["hq_cap"])
+            capR, hq_cap = caps["capR"], caps["hq_cap"]
+            fut = _dispatch(start, capR, hq_cap)
+        else:
+            raise RuntimeError("fused seed-verify retries exhausted")
+        seen_cands = max(seen_cands, n_cands)
+        seen_hits = max(seen_hits, n_hits)
+        fb_words = packed[3 * hq_cap : 3 * hq_cap + nw]
+        fb = (fb_words[:, None] >> np.arange(32, dtype=np.int32)[None, :]) & 1
+        fb = fb.astype(bool).reshape(-1)[:chunk]
+        n_real = min(chunk, nq - start)
+        if n_real > 0:
+            fallback_all[start : start + n_real] = fb[:n_real]
+        if n_hits:
+            out_q.append(start + packed[:n_hits])
+            out_p.append(packed[hq_cap : hq_cap + n_hits].astype(np.int64))
+            out_e.append(packed[2 * hq_cap : 2 * hq_cap + n_hits])
+    # right-size the next compile generation from observed volumes (only
+    # shrink when it saves a large factor — recompiles cost more than
+    # moderately-padded verifies)
+    if seen_cands and _quant_fused(int(seen_cands * 1.4)) * 3 < caps["capR"]:
+        caps["capR"] = _quant_fused(int(seen_cands * 1.4))
+    if seen_hits and _quant_fused(int(seen_hits * 2)) * 3 < caps["hq_cap"]:
+        caps["hq_cap"] = _quant_fused(int(seen_hits * 2))
+
+    if out_q:
+        hits = SvHits(
+            q_idx=np.concatenate(out_q).astype(np.int32),
+            abs_pos=np.concatenate(out_p),
+            err=np.concatenate(out_e).astype(np.int32),
+        )
+    else:
+        z = np.zeros(0, dtype=np.int64)
+        hits = SvHits(z.astype(np.int32), z, z.astype(np.int32))
+    res = _sv_hits_to_result(index, hits, qids)
+    res = _merge_results([res])
+    return _cap_hits_per_query(res, max_hits), fallback_all
+
+
 def _run_sv_grouped(
     index: DeviceIndex,
     qarr: np.ndarray,
@@ -382,10 +499,26 @@ def _run_sv_grouped(
     """Seed-and-verify engine driver: chunk queries, pipeline the two device
     calls (chunk i's host expansion overlaps chunk i+1's seed search).
 
+    Routes to the fused single-dispatch path (_run_sv_fused) whenever the
+    exact-parts plan applies; the two-phase path remains for one-error
+    (plan_parts_e1) seeds and as the SAHARA_NO_FUSED_SV=1 fallback.
+
     Returns (hits, fallback bool[nq]): queries excluded by the per-part
     occurrence budget (seedverify.PART_CAP) produce NO hits here and are
     flagged for an exact re-search through the scheme engine."""
+    import os as _os
+
+    from sahara_tpu.engine.seedverify import PART_CAP, plan_parts
+
     nq = qarr.shape[0]
+    if nq:
+        parts = plan_parts(qarr.shape[1], k)
+        if parts is not None and _os.environ.get("SAHARA_NO_FUSED_SV", "") != "1":
+            return _run_sv_fused(
+                index, qarr, qids, k=k, edit=edit, active=active,
+                max_hits=max_hits, chunk=min(chunk, nq),
+                part_cap=PART_CAP if part_cap is None else part_cap, parts=parts,
+            )
     act_all = np.ones(nq, dtype=bool) if active is None else np.asarray(active, dtype=bool)
     fallback_all = np.zeros(nq, dtype=bool)
 

@@ -149,6 +149,17 @@ def seed_parts(
 ) -> jax.Array:
     """Exact backward search of every (query, part) lane against the
     forward occ table.  Returns ONE packed int32[2 * nq * P]: lo | sz."""
+    lo, hi = _seed_scan(index, queries, parts)
+    sz = jnp.maximum(hi - lo, 0)
+    return jnp.concatenate([lo.reshape(-1), sz.reshape(-1)])
+
+
+def _seed_scan(
+    index: DeviceIndex,
+    queries: jax.Array,  # int32[nq, m]
+    parts: tuple[tuple[int, int], ...],
+) -> tuple[jax.Array, jax.Array]:
+    """Traceable seed-scan body: (lo, hi) int32[nq, P] part intervals."""
     occ, c_arr, sigma = index.occ, index.c_arr, index.sigma
     queries = queries.astype(jnp.int32)  # uint8 ranks would wrap in the code shifts
     nq = queries.shape[0]
@@ -198,8 +209,7 @@ def seed_parts(
         lo = jnp.where(act_m, new_lo, lo)
         hi = jnp.where(act_m, new_hi, hi)
 
-    sz = jnp.maximum(hi - lo, 0)
-    return jnp.concatenate([lo.reshape(-1), sz.reshape(-1)])
+    return lo, hi
 
 
 def expand_seeds(
@@ -307,6 +317,31 @@ def sv_verify(
     Returns ONE packed int32[3*hq_cap + 8]: hit candidate-ids | abs text
     positions | error counts | (count, hit_overflow, pad...).  The id
     encodes (delta * capR + candidate), host-decodable with q_of."""
+    sel, h_pos, h_err, total = _verify_core(
+        index, queries, rows, q_of, off_of, valid, m=m, k=k, edit=edit, hq_cap=hq_cap
+    )
+    tail = jnp.zeros(8, dtype=jnp.int32)
+    tail = tail.at[0].set(jnp.minimum(total, hq_cap))
+    tail = tail.at[1].set((total > hq_cap).astype(jnp.int32))
+    return jnp.concatenate([sel, h_pos, h_err, tail])
+
+
+def _verify_core(
+    index: DeviceIndex,
+    queries: jax.Array,
+    rows: jax.Array,
+    q_of: jax.Array,
+    off_of: jax.Array,
+    valid: jax.Array,
+    *,
+    m: int,
+    k: int,
+    edit: bool,
+    hq_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Traceable verify body: (sel int32[hq_cap] — delta-major flat slot
+    (delta * capR + candidate) or -1, abs positions, error counts, total
+    hit count before capping)."""
     capR = rows.shape[0]
     assert capR % _BLK == 0
     S = 2 * k + 1 if edit else 1  # candidate starts per anchor
@@ -412,10 +447,91 @@ def sv_verify(
     sel_c = jnp.maximum(sel, 0)
     h_pos = jnp.where(got, jnp.take(pos_all, sel_c), -1)
     h_err = jnp.where(got, jnp.take(err_all, sel_c), 0)
+    return jnp.where(got, sel, -1), h_pos, h_err, total
+
+
+# --------------------------------------------------------------------------
+# fused single-dispatch path: seed -> expand -> verify in ONE device call
+# --------------------------------------------------------------------------
+#
+# The two-phase driver costs, per chunk, through a tunneled device:
+# one int32 query H2D (~6.5MB, measured ~85ms at the tunnel's ~60-80MB/s),
+# a seed-result D2H round trip (~25ms sync floor), and a verify D2H —
+# ~0.11s of transfer/latency against ~0.07s of actual device work
+# (tools/h2d_probe.py, tools/profile_sv.py, round 5).  The fused path
+# (a) uploads the whole query matrix ONCE as uint8 and slices chunks
+# on-device, and (b) moves the ragged candidate expansion onto the device
+# (the same cumsum/searchsorted locate.expand_intervals uses), so a chunk
+# costs ONE dispatch and ONE D2H of the final hit list.  Candidate or hit
+# overflow falls back to the exact two-phase path for that chunk — the
+# fused path is a fast path, never a semantics change.
+
+
+@partial(
+    jax.jit,
+    static_argnames=("parts", "m", "k", "edit", "capR", "hq_cap", "part_cap", "chunk"),
+)
+def sv_fused(
+    index: DeviceIndex,
+    qfull: jax.Array,  # uint8[nq_pad, m] — the WHOLE padded query matrix
+    act_full: jax.Array,  # bool[nq_pad]
+    bad_full: jax.Array,  # bool[nq_pad] — queries the j-mer table can't seed
+    start: jax.Array,  # int32 scalar — chunk offset into qfull
+    *,
+    parts: tuple[tuple[int, int], ...],
+    m: int,
+    k: int,
+    edit: bool,
+    capR: int,
+    hq_cap: int,
+    part_cap: int,
+    chunk: int,
+) -> jax.Array:
+    """One fused chunk: returns packed int32[3*hq_cap + ceil(chunk/32) + 8]:
+    local hit query idx | abs positions | errors | fallback bitmask |
+    (n_hits, hit_ovf, cand_ovf, n_cands, pad*4)."""
+    from sahara_tpu.engine.locate import expand_intervals
+
+    P = len(parts)
+    queries = lax.dynamic_slice(qfull, (start, 0), (chunk, m)).astype(jnp.int32)
+    act = lax.dynamic_slice(act_full, (start,), (chunk,))
+    bad = lax.dynamic_slice(bad_full, (start,), (chunk,))
+
+    lo, hi = _seed_scan(index, queries, parts)
+    sz = jnp.maximum(hi - lo, 0)  # [chunk, P]
+    sz = jnp.where((act & ~bad)[:, None], sz, 0)
+    over = (sz > part_cap).any(axis=1)
+    fallback = (over | bad) & act
+    sz = jnp.where(fallback[:, None], 0, sz)
+    n_cands = jnp.sum(sz)  # int32 reduction: exact
+    cand_ovf = n_cands > capR
+    ln = jnp.where(cand_ovf, 0, sz.reshape(-1))  # zero sizes keep the f32
+    # interval cumsum inside its 2^24 exactness bound (ends <= capR)
+    rows, src, valid, _ = expand_intervals(lo.reshape(-1), ln, capR)
+    q_of = src // P
+    offs = jnp.asarray(np.asarray([off for off, _ in parts], dtype=np.int32))
+    off_of = jnp.take(offs, src % P)
+
+    sel, h_pos, h_err, total = _verify_core(
+        index, queries, jnp.where(valid, rows, 0), q_of, off_of, valid,
+        m=m, k=k, edit=edit, hq_cap=hq_cap,
+    )
+    got = sel >= 0
+    cand = jnp.maximum(sel, 0) % capR
+    h_q = jnp.where(got, jnp.take(q_of, cand), -1)
+
+    # fallback flags packed 32/word (the D2H is latency-bound; keep it small)
+    nw = -(-chunk // 32)
+    fb = jnp.zeros(nw * 32, dtype=jnp.int32).at[:chunk].set(fallback.astype(jnp.int32))
+    bits = jnp.asarray(np.arange(32, dtype=np.int32))[None, :]
+    fb_words = jnp.sum(fb.reshape(nw, 32) << bits, axis=1)
+
     tail = jnp.zeros(8, dtype=jnp.int32)
     tail = tail.at[0].set(jnp.minimum(total, hq_cap))
     tail = tail.at[1].set((total > hq_cap).astype(jnp.int32))
-    return jnp.concatenate([jnp.where(got, sel, -1), h_pos, h_err, tail])
+    tail = tail.at[2].set(cand_ovf.astype(jnp.int32))
+    tail = tail.at[3].set(n_cands)
+    return jnp.concatenate([h_q, h_pos, h_err, fb_words, tail])
 
 
 # --------------------------------------------------------------------------

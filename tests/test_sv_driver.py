@@ -76,3 +76,51 @@ def test_auto_picks_sv_and_falls_back(workload):
     assert _rows(r_tiny) == _rows(r_tiny_wq)
     with pytest.raises(ValueError):
         search_queries(dev, tiny, k=2, edit=True, engine="sv", chunk=8)
+
+
+def test_fused_equals_two_phase(workload, monkeypatch):
+    """The fused single-dispatch SV path (driver._run_sv_fused) must be
+    row-identical to the two-phase dispatch/collect path, including the
+    repeat-saturated fallback flags (exercised via a tiny part_cap)."""
+    dev, queries = workload
+    kw = dict(k=2, edit=True, mode="all", engine="sv", chunk=16)
+    r_fused = search_queries(dev, queries, **kw)
+    monkeypatch.setenv("SAHARA_NO_FUSED_SV", "1")
+    r_two = search_queries(dev, queries, **kw)
+    assert _rows(r_fused) == _rows(r_two)
+
+
+def test_fused_part_cap_fallback_matches(workload, monkeypatch):
+    dev, queries = workload
+    # part_cap=1 saturates most parts -> wide fallback routing through the
+    # workq engine; both paths must agree on the COMBINED hit set
+    kw = dict(k=2, edit=True, mode="all", engine="sv", chunk=16, sv_part_cap=1)
+    r_fused = search_queries(dev, queries, **kw)
+    monkeypatch.setenv("SAHARA_NO_FUSED_SV", "1")
+    r_two = search_queries(dev, queries, **kw)
+    assert _rows(r_fused) == _rows(r_two)
+
+
+def test_fused_cap_retry(monkeypatch):
+    """Genuinely overflow the fused path's candidate + hit capacities (a
+    tandem-repeat reference makes every part interval wide) and assert the
+    retry ladder converges to the two-phase path's output."""
+    from sahara_tpu.engine import driver as drv
+
+    rng = np.random.default_rng(5)
+    unit = rng.integers(1, 5, 20).astype(np.uint8)
+    ref = np.concatenate([np.tile(unit, 60), rng.integers(1, 5, 400).astype(np.uint8)])
+    host = build_bifmindex([ref], 6, "d_dna5", rate=16)
+    dev = DeviceIndex.from_host(host)
+    m, k = 36, 2
+    queries = [np.array(ref[i * 7 : i * 7 + m], dtype=np.uint8) for i in range(8)]
+
+    kw = dict(k=k, edit=True, mode="all", engine="sv", chunk=8)
+    drv._FUSED_CAPS.clear()
+    drv._FUSED_CAPS[(m, k, True, k + 1, 8)] = {"capR": 512, "hq_cap": 512}
+    r_small = search_queries(dev, queries, **kw)
+    assert drv._FUSED_CAPS[(m, k, True, k + 1, 8)]["capR"] > 512  # ladder ran
+    monkeypatch.setenv("SAHARA_NO_FUSED_SV", "1")
+    r_two = search_queries(dev, queries, **kw)
+    assert _rows(r_small) == _rows(r_two)
+    drv._FUSED_CAPS.clear()
