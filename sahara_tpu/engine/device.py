@@ -8,6 +8,7 @@ so jitted engine code specializes on it.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,10 @@ class DeviceIndex:
     # first lut_j steps.  0 = absent.
     lut: jax.Array | None = None
     lut_j: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # full suffix array (absolute padded-text positions, int32[n]) when the
+    # host index carries the sa_abs sidecar: locate is ONE gather instead
+    # of a rate-trip LF walk (engine/locate.py::lf_walk fast path)
+    sa_full: jax.Array | None = None
     # MirroredBiFMIndex optimization (index/fmindex.py::BiFMIndex): the
     # collection is reverse-closed, so the reverse cursor is a forward-
     # index interval and right extensions rank the forward table — no rev
@@ -159,6 +164,13 @@ class DeviceIndex:
             ),
             lut=lut,
             lut_j=lut_j,
+            sa_full=(
+                put(np.asarray(index.sa_abs, dtype=np.int32))
+                if getattr(index, "sa_abs", None) is not None
+                and index.text4 is not None
+                and _os.environ.get("SAHARA_NO_FULL_SA", "") != "1"
+                else None
+            ),
             mirrored=mirrored,
         )
 

@@ -52,7 +52,25 @@ def lf_walk(index: DeviceIndex, rows: jax.Array, valid: jax.Array):
     """Walk each row backward via LF until its SA position is sampled.
 
     Returns (seq_id int32[...], pos int32[...]) — final located positions.
+
+    Fast path: with the full-SA sidecar resident (``index.sa_full``) the
+    walk collapses to ONE position gather plus a seq-start subtraction —
+    measured 1521 -> 168 ns/row at 1M rows on a 40MB text (the sampled
+    walk is a rate-trip pointer chase whose every trip pays a full occ-row
+    gather; the sidecar turns it into the gather engine's best case).
+
+    Contract: rows whose suffix starts at a sentinel (inter-sequence
+    padding) are unspecified and may differ between the two paths — no
+    search hit can produce one (query ranks 1..4 never match sentinel 0,
+    so every hit row starts at a real text character).
     """
+    if index.sa_full is not None and index.seq_starts is not None:
+        abs_pos = jnp.take(index.sa_full, jnp.where(valid, rows, 0))
+        seq_id = (
+            jnp.searchsorted(index.seq_starts, abs_pos, side="right").astype(jnp.int32) - 1
+        )
+        pos = abs_pos - jnp.take(index.seq_starts, jnp.clip(seq_id, 0, None))
+        return jnp.where(valid, seq_id, -1), jnp.where(valid, pos, -1)
     occ, c_arr, sigma = index.occ, index.c_arr, index.sigma
 
     def body(_, state):

@@ -42,6 +42,12 @@ def build_text(seqs: list[np.ndarray], rate: int) -> tuple[np.ndarray, np.ndarra
     return np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.uint8), starts
 
 
+def _full_sa_max() -> int:
+    import os
+
+    return int(os.environ.get("SAHARA_FULL_SA_MAX", 1 << 27))
+
+
 def _build_core(text: np.ndarray, sigma: int, rate: int, starts: np.ndarray, seq_lens: np.ndarray):
     """SA -> BWT -> occ + sampled CSA for one direction (the forward text)."""
     n = len(text)
@@ -60,7 +66,11 @@ def _build_core(text: np.ndarray, sigma: int, rate: int, starts: np.ndarray, seq
     sampled_positions = sa[is_sampled]
     seq_id = np.searchsorted(starts, sampled_positions, side="right") - 1
     seq_pos = sampled_positions - starts[seq_id]
-    return occ, c_arr, sampled.astype(np.int32), seq_id.astype(np.int32), seq_pos.astype(np.int32)
+    # full-SA locate sidecar (fmindex.FMIndex.sa_abs): kept for texts up to
+    # SAHARA_FULL_SA_MAX chars (4 bytes/char on disk and HBM) so locate is
+    # one gather instead of a rate-trip LF pointer chase
+    sa_abs = sa.astype(np.int32) if n <= _full_sa_max() else None
+    return occ, c_arr, sampled.astype(np.int32), seq_id.astype(np.int32), seq_pos.astype(np.int32), sa_abs
 
 
 def _ranks_of(seqs: list[np.ndarray]) -> list[np.ndarray]:
@@ -79,7 +89,7 @@ def build_fmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: 
     seqs = _ranks_of(seqs)
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
     text, starts = build_text(seqs, rate)
-    occ, c_arr, sampled, sseq, spos = _build_core(text, sigma, rate, starts, seq_lens)
+    occ, c_arr, sampled, sseq, spos, sa_abs = _build_core(text, sigma, rate, starts, seq_lens)
     return FMIndex(
         sigma=sigma,
         alphabet_name=alphabet_name,
@@ -92,6 +102,7 @@ def build_fmindex(seqs: list[np.ndarray], sigma: int, alphabet_name: str, rate: 
         sample_pos=spos,
         seq_lens=seq_lens,
         text4=_pack_text_opt(text, sigma),
+        sa_abs=sa_abs,
     )
 
 
@@ -116,7 +127,7 @@ def build_bifmindex(
     seq_lens = np.array([len(s) for s in seqs], dtype=np.int64)
     text, starts = build_text(seqs, rate)
     if mirrored:
-        occ, c_arr, sampled, sseq, spos = _build_core(text, sigma, rate, starts, seq_lens)
+        occ, c_arr, sampled, sseq, spos, sa_abs = _build_core(text, sigma, rate, starts, seq_lens)
         occ_rev = None
     elif threads >= 2 and len(text) >= 1 << 22:
         from concurrent.futures import ThreadPoolExecutor
@@ -124,10 +135,10 @@ def build_bifmindex(
         with ThreadPoolExecutor(2) as ex:
             fwd_fut = ex.submit(_build_core, text, sigma, rate, starts, seq_lens)
             rev_fut = ex.submit(_rev_occ, text, sigma)
-            occ, c_arr, sampled, sseq, spos = fwd_fut.result()
+            occ, c_arr, sampled, sseq, spos, sa_abs = fwd_fut.result()
             occ_rev = rev_fut.result()
     else:
-        occ, c_arr, sampled, sseq, spos = _build_core(text, sigma, rate, starts, seq_lens)
+        occ, c_arr, sampled, sseq, spos, sa_abs = _build_core(text, sigma, rate, starts, seq_lens)
         occ_rev = _rev_occ(text, sigma)
 
     return BiFMIndex(
@@ -142,6 +153,7 @@ def build_bifmindex(
         sample_pos=spos,
         seq_lens=seq_lens,
         text4=_pack_text_opt(text, sigma),
+        sa_abs=sa_abs,
         occ_rev=occ_rev,
         mirrored=mirrored,
     )

@@ -42,6 +42,16 @@ class FMIndex:
     # indexes built before v2 / with sigma > 15.  Feeds the seed-and-verify
     # engine; every search path works without it (workq fallback).
     text4: np.ndarray | None = None
+    # OPTIONAL full suffix array (absolute padded-text positions, int32[n]):
+    # saved at build time for texts up to SAHARA_FULL_SA_MAX chars (default
+    # 2^27).  Collapses the locate LF-walk (rate gather trips per hit) into
+    # ONE gather on device — the reference trades the same memory/time axis
+    # with its CSA sampling rate (index.cpp:87); we additionally keep the
+    # dense row->position map where it fits because HBM gathers are the
+    # TPU's fast path and the walk's pointer chase is not.  Absent on big
+    # (sharded/genome-scale) builds and on pre-existing containers; every
+    # consumer falls back to the sampled walk.
+    sa_abs: np.ndarray | None = None
 
     @property
     def num_seqs(self) -> int:
@@ -98,6 +108,8 @@ def save_index(path: str, index: FMIndex) -> None:
         arrays["occ_rev"] = index.occ_rev
     if index.text4 is not None:
         arrays["text4"] = index.text4
+    if index.sa_abs is not None:
+        arrays["sa_abs"] = index.sa_abs
     if hasattr(path, "write"):
         np.savez(path, **arrays)
     else:
@@ -193,6 +205,7 @@ def load_index(path: str) -> FMIndex:
             raise ValueError(f"unknown file format version for index: {meta['format_version']}")
         common = dict(
             text4=data["text4"] if "text4" in data.files else None,
+            sa_abs=data["sa_abs"] if "sa_abs" in data.files else None,
             sigma=meta["sigma"],
             alphabet_name=meta["alphabet"],
             rate=meta["rate"],
