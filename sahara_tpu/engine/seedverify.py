@@ -35,6 +35,7 @@ symbols >= 1.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 
 import jax
@@ -414,12 +415,40 @@ def _verify_core(
             # base column j == 0: a[i][0] = i (leading query insertions)
             cand = jnp.where(j == 0, i, cand)
             cand = jnp.where(j < 0, _INF, cand)
-            # left (deletion) chain within the row; j == 1 admits none
-            a_cur = cand
-            for c in range(1, B):
-                left = a_cur[:, :, c - 1] + dele[:, :, c]
-                left = jnp.where(j[0, 0, c] == 1, _INF, left)
-                a_cur = a_cur.at[:, :, c].set(jnp.minimum(a_cur[:, :, c], left))
+            # left (deletion) chain within the row; j == 1 admits none.
+            # Min-plus prefix form instead of the sequential per-column
+            # update (B-1 dependent full-tensor writes the compiler cannot
+            # fuse): entering column c from c-1 costs w[c] (1, or _INF when
+            # the deletion is forbidden), so with P = prefix-sum(w),
+            # a_cur[c] = P[c] + min_{c'<=c}(cand[c'] - P[c']) — one
+            # Kogge-Stone prefix-sum + prefix-min, log2(B) shifted ops.
+            # Paths crossing a forbidden edge pick up +_INF via P and lose;
+            # magnitudes stay < B*_INF + _INF + m << 2^31.
+            if _os.environ.get("SAHARA_VERIFY_DP", "") == "chain":
+                a_cur = cand
+                for c in range(1, B):
+                    left = a_cur[:, :, c - 1] + dele[:, :, c]
+                    left = jnp.where(j[0, 0, c] == 1, _INF, left)
+                    a_cur = a_cur.at[:, :, c].set(jnp.minimum(a_cur[:, :, c], left))
+            else:
+                w = jnp.where(j == 1, _INF, dele)  # cost of entering col c
+                w = jnp.concatenate(
+                    [jnp.zeros_like(w[:, :, :1]), w[:, :, 1:]], axis=2
+                )
+                p = w
+                for sh in (1, 2, 4, 8):
+                    if sh >= B:
+                        break
+                    p = p + jnp.pad(p, ((0, 0), (0, 0), (sh, 0)))[:, :, :B]
+                mm = cand - p
+                for sh in (1, 2, 4, 8):
+                    if sh >= B:
+                        break
+                    shifted = jnp.pad(
+                        mm, ((0, 0), (0, 0), (sh, 0)), constant_values=_INF
+                    )[:, :, :B]
+                    mm = jnp.minimum(mm, shifted)
+                a_cur = jnp.minimum(cand, mm + p)
             # b: last char consumed by match/sub
             b_up = jnp.concatenate([b_prev[:, :, 1:], jnp.full((capR, S, 1), _INF)], axis=2)
             b_cur = jnp.minimum(a_prev + sub, b_up + 1)
